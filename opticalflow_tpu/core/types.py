@@ -1,0 +1,180 @@
+"""Typed data contracts for the engine.
+
+The reference's universal data contract is the *flow-result dict* with keys
+``v_x, v_y, speed, original_data, blurred_data, delta_x, delta_t`` plus
+optionally ``remodelling, converged, L1_functional, remodelling_functional,
+speed_functional`` (/root/reference/source/optical_flow.py:206-217,
+1193-1205).  :class:`FlowResult` keeps that contract — it is a mapping, so
+every reference-style driver/plot call site (``result['v_x']``) keeps
+working — while also being a well-typed object with save/load helpers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Mapping
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class FlowResult(Mapping):
+    """Result of an optical-flow computation.
+
+    Behaves like the reference result dict (mapping access, ``.keys()``,
+    ``np.save``-able via :meth:`to_dict`) with typed attribute access for
+    the standard fields.  Velocity arrays have shape ``(frames-1, X, Y)``
+    and physical units (delta_x/delta_t applied), matching the reference.
+    """
+
+    _STANDARD = (
+        "v_x",
+        "v_y",
+        "speed",
+        "remodelling",
+        "original_data",
+        "blurred_data",
+        "delta_x",
+        "delta_t",
+        "converged",
+        "L1_functional",
+        "remodelling_functional",
+        "speed_functional",
+    )
+
+    def __init__(self, **entries: Any):
+        self._data: Dict[str, Any] = {k: v for k, v in entries.items() if v is not None}
+
+    # -- mapping protocol -------------------------------------------------
+    def __getitem__(self, key: str) -> Any:
+        return self._data[key]
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        self._data[key] = value
+
+    def __contains__(self, key: object) -> bool:
+        return key in self._data
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._data)
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self._data.get(key, default)
+
+    # -- typed accessors --------------------------------------------------
+    @property
+    def v_x(self) -> np.ndarray:
+        return self._data["v_x"]
+
+    @property
+    def v_y(self) -> np.ndarray:
+        return self._data["v_y"]
+
+    @property
+    def speed(self) -> np.ndarray:
+        return self._data["speed"]
+
+    @property
+    def remodelling(self) -> Optional[np.ndarray]:
+        return self._data.get("remodelling")
+
+    @property
+    def delta_x(self) -> float:
+        return float(self._data["delta_x"])
+
+    @property
+    def delta_t(self) -> float:
+        return float(self._data["delta_t"])
+
+    @property
+    def converged(self) -> Optional[bool]:
+        value = self._data.get("converged")
+        return None if value is None else bool(value)
+
+    # -- conversion / persistence ----------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        """Plain dict with host numpy arrays (reference-compatible)."""
+        out = {}
+        for key, value in self._data.items():
+            if hasattr(value, "device_buffer") or type(value).__module__.startswith("jax"):
+                out[key] = np.asarray(value)
+            else:
+                out[key] = value
+        return out
+
+    def save(self, path: str) -> None:
+        """Persist as the reference does: ``np.save(..., allow_pickle)`` of
+        the result dict (ref analysis/compare_rho_and_actin.py:627)."""
+        np.save(path, self.to_dict(), allow_pickle=True)
+
+    @classmethod
+    def load(cls, path: str) -> "FlowResult":
+        data = np.load(path, allow_pickle=True).item()
+        return cls(**data)
+
+    def __repr__(self) -> str:
+        shapes = {
+            k: (tuple(v.shape) if hasattr(v, "shape") else v) for k, v in self._data.items()
+        }
+        return f"FlowResult({shapes})"
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Krylov solver configuration (the TPU-native analogue of the PETSc
+    option strings at ref optical_flow.py:1080-1093, 1117-1126)."""
+
+    method: str = "bicgstab"  # 'bicgstab' | 'cg' | 'direct'
+    rtol: float = 1e-6  # relative tolerance on the unpreconditioned residual
+    atol: float = 0.0
+    max_iterations: int = 1000
+    preconditioner: str = "multigrid"  # 'none' | 'block_jacobi' | 'multigrid'
+    # Dot products / norms can be accumulated in f64 even when the fields are
+    # f32 ("compensated" reductions); cheap on TPU and stabilises BiCGStab.
+    high_precision_reductions: bool = True
+    # BiCGStab in f32 stalls around ~1e3 * eps(f32) relative residual while
+    # the *solution* is already far inside the EPE target (measured: relres
+    # ~1e-4 stall with max EPE 4e-5 px vs the f64 oracle on a 128^2 pair).
+    # The convergence test therefore floors the tolerance at
+    # ``dtype_tol_floor * eps(dtype) * ||b||`` so f32 runs report convergence
+    # at working precision instead of chasing an unreachable f64 tolerance.
+    dtype_tol_floor: float = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class VariationalConfig:
+    """Configuration for the flagship variational flow solve
+    (mirrors the kwargs of ref ``variational_optical_flow``, :715-724)."""
+
+    delta_x: float = 1.0
+    delta_t: float = 1.0
+    speed_alpha: float = 1.0
+    remodelling_alpha: float = 1000.0
+    smoothing_sigma: Optional[float] = None
+    initial_v_x: float = 0.0
+    initial_v_y: float = 0.0
+    initial_remodelling: float = 0.0
+    # 'sequential' reproduces the reference's warm-start chain across frame
+    # pairs (ref :799-806); 'cold' drops it so frame pairs become
+    # embarrassingly parallel (batched/sharded execution).
+    warm_start: str = "sequential"
+    # 'compat' replicates the reference's dy-rule defect (see core.stencils).
+    dy_mode: str = "compat"
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    dtype: Any = None  # None -> float32 on TPU, float64 if x64 enabled
+
+
+@dataclasses.dataclass(frozen=True)
+class BoxFlowConfig:
+    """Configuration for the box-method (Vig et al. 2016) flow
+    (mirrors ref ``conduct_optical_flow``, :159)."""
+
+    boxsize: int = 15
+    delta_x: float = 1.0
+    delta_t: float = 1.0
+    smoothing_sigma: Optional[float] = None
+    background: Optional[float] = None
+    include_remodelling: bool = False

@@ -1,0 +1,321 @@
+"""Flagship variational optical flow (velocity + net remodelling).
+
+TPU-native re-design of the reference's ``variational_optical_flow``
+(/root/reference/source/optical_flow.py:715-1210).  Per frame pair the
+reference assembles a ``3*Ni*Nj`` sparse system on the host and solves it
+with PETSc BiCGStab; here the system never materialises — derivative
+planes, coefficient planes, the matrix-free stencil matvec, the
+block-Jacobi preconditioner and the whole Krylov iteration are one fused
+XLA computation per frame pair, scanned over the movie with the
+reference's warm-start chain (ref :799-806) as the scan carry.
+
+Modes:
+* ``warm_start='sequential'`` — reproduce the reference semantics (each
+  pair starts from the previous pair's solution); ``lax.scan``.
+* ``warm_start='cold'`` — every pair starts from the initial guess;
+  frame pairs become independent and are batched with ``vmap`` (and can be
+  sharded across devices, see ``parallel``).
+* ``use_direct_solver=True`` — host-side assembled spsolve (small images;
+  parity with ref :1147 and the correctness oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticalflow_tpu.core import stencils
+from opticalflow_tpu.core.types import FlowResult, SolverConfig
+from opticalflow_tpu.ops import elop
+from opticalflow_tpu.ops.blur import blur_movie
+from opticalflow_tpu.solve import krylov, multigrid
+
+
+def _functionals(u, pair: elop.FramePairData, speed_alpha, remodelling_alpha, dy_mode):
+    """Data/regulariser functionals of a solved pair (ref :1167-1183).
+
+    Evaluated on the BC-fixed fields in pixel units, with the same dy rule
+    the operator used.
+    """
+    v_x, v_y, g = u[0], u[1], u[2]
+    dvx_dx = stencils.ddx(v_x)
+    dvx_dy = stencils.ddy(v_x, mode=dy_mode)
+    dvy_dx = stencils.ddx(v_y)
+    dvy_dy = stencils.ddy(v_y, mode=dy_mode)
+    dg_dx = stencils.ddx(g)
+    dg_dy = stencils.ddy(g, mode=dy_mode)
+    I = pair.I_interior
+    data_residual = (
+        pair.dIdt
+        + v_x[1:-1, 1:-1] * pair.dIdx
+        + v_y[1:-1, 1:-1] * pair.dIdy
+        + I * dvx_dx
+        + I * dvy_dy
+        - g[1:-1, 1:-1]
+    )
+    l1 = jnp.sum(data_residual**2)
+    speed_f = speed_alpha * jnp.sum(dvx_dx**2 + dvx_dy**2 + dvy_dx**2 + dvy_dy**2)
+    rem_f = remodelling_alpha * jnp.sum(dg_dx**2 + dg_dy**2)
+    return l1, speed_f, rem_f
+
+
+def solve_frame_pair(
+    previous_frame: jnp.ndarray,
+    current_frame: jnp.ndarray,
+    u0: jnp.ndarray,
+    speed_alpha,
+    remodelling_alpha,
+    dy_mode: str = stencils.DY_COMPAT,
+    method: str = "bicgstab",
+    preconditioner: str = "multigrid",
+    rtol: float = 1e-6,
+    max_iterations: int = 1000,
+    high_precision_reductions: bool = True,
+):
+    """Solve the coupled EL system for one frame pair (pixel units).
+
+    Returns ``(u, info)`` where ``u`` is the BC-fixed (3, Ni, Nj) solution
+    and ``info`` is a dict of scalars (iterations, residual_norm,
+    converged, functionals).
+    """
+    pair = elop.compute_frame_pair_data(
+        previous_frame, current_frame, speed_alpha, remodelling_alpha, dy_mode
+    )
+    # Solve the *reduced* system: boundary constraint rows folded into the
+    # interior stencil (exact — see ops.elop), so the Krylov iteration and
+    # the multigrid hierarchy see a pure 9-point stencil operator.
+    matvec = functools.partial(elop.el_matvec_reduced, pair.coeffs)
+    b_red = pair.rhs[:, 1:-1, 1:-1]
+    u0_red = u0[:, 1:-1, 1:-1]
+
+    if preconditioner == "block_jacobi":
+        precond = functools.partial(elop.block_jacobi_inverse_apply_interior, pair.coeffs)
+    elif preconditioner == "multigrid":
+        m, n = b_red.shape[1], b_red.shape[2]
+        hierarchy = multigrid.setup(
+            matvec, elop.diag_blocks(pair.coeffs), m, n, b_red.dtype
+        )
+        precond = functools.partial(multigrid.v_cycle, hierarchy)
+    elif preconditioner == "none":
+        precond = None
+    else:
+        raise ValueError(f"unknown preconditioner {preconditioner!r}")
+
+    solver_fn = {"bicgstab": krylov.bicgstab, "cg": krylov.cg}[method]
+    res = solver_fn(
+        matvec,
+        b_red,
+        x0=u0_red,
+        precond=precond,
+        rtol=rtol,
+        max_iterations=max_iterations,
+        high_precision_reductions=high_precision_reductions,
+    )
+
+    # Embed + mirror-BC fix-up, mainly for the corner rows (ref :1163-1166).
+    u = elop.embed_interior(res.x)
+
+    l1, speed_f, rem_f = _functionals(u, pair, pair.coeffs.speed_alpha,
+                                      pair.coeffs.remodelling_alpha, dy_mode)
+    info = {
+        "iterations": res.iterations,
+        "residual_norm": res.residual_norm,
+        "converged": res.converged,
+        "L1_functional": l1,
+        "speed_functional": speed_f,
+        "remodelling_functional": rem_f,
+    }
+    return u, info
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dy_mode", "method", "preconditioner", "max_iterations",
+                     "high_precision_reductions", "warm_start"),
+)
+def _solve_movie(
+    movie,
+    u_init,
+    speed_alpha,
+    remodelling_alpha,
+    dy_mode,
+    method,
+    preconditioner,
+    rtol,
+    max_iterations,
+    high_precision_reductions,
+    warm_start,
+):
+    prev_frames = movie[:-1]
+    cur_frames = movie[1:]
+
+    pair_solver = functools.partial(
+        solve_frame_pair,
+        speed_alpha=speed_alpha,
+        remodelling_alpha=remodelling_alpha,
+        dy_mode=dy_mode,
+        method=method,
+        preconditioner=preconditioner,
+        rtol=rtol,
+        max_iterations=max_iterations,
+        high_precision_reductions=high_precision_reductions,
+    )
+
+    if warm_start == "sequential":
+
+        def step(carry_u, frames):
+            prev, cur = frames
+            u, info = pair_solver(prev, cur, carry_u)
+            return u, (u, info)
+
+        _, (all_u, infos) = jax.lax.scan(step, u_init, (prev_frames, cur_frames))
+    elif warm_start == "cold":
+        all_u, infos = jax.vmap(lambda p, c: pair_solver(p, c, u_init))(prev_frames, cur_frames)
+    else:
+        raise ValueError(f"unknown warm_start mode {warm_start!r}")
+    return all_u, infos
+
+
+def variational_optical_flow(
+    movie,
+    delta_x: float = 1.0,
+    delta_t: float = 1.0,
+    speed_alpha: float = 1.0,
+    remodelling_alpha: float = 1000.0,
+    smoothing_sigma: Optional[float] = None,
+    initial_v_x: float = 0.0,
+    initial_v_y: float = 0.0,
+    initial_remodelling: float = 0.0,
+    use_direct_solver: bool = False,
+    dy_mode: str = stencils.DY_COMPAT,
+    warm_start: str = "sequential",
+    solver: Optional[SolverConfig] = None,
+    dtype=None,
+) -> FlowResult:
+    """Drop-in equivalent of the reference ``variational_optical_flow``
+    (ref :715-1210): same arguments, same result-dict contract, with the
+    PETSc solve replaced by the on-device matrix-free Krylov solve.
+
+    When ``dy_mode='compat'`` (default) the reference's dy-rule defect and
+    the ``speed_functional`` key duplication (ref :1205) are reproduced so
+    results are comparable bit-for-bit in structure; the correctly
+    computed speed functional is then stored under
+    ``'speed_functional_corrected'``.
+    """
+    solver = solver or SolverConfig()
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    movie = jnp.asarray(movie, dtype=dtype)
+    if smoothing_sigma is not None:
+        movie_to_analyse = blur_movie(movie, smoothing_sigma=smoothing_sigma)
+    else:
+        movie_to_analyse = movie
+
+    n_i, n_j = movie.shape[1], movie.shape[2]
+    # Initial guess in pixel units (ref :799-802): physical -> pixel is
+    # * delta_t / delta_x for velocities.
+    u_init = jnp.stack(
+        [
+            jnp.full((n_i, n_j), float(initial_v_x) * delta_t / delta_x, dtype=dtype),
+            jnp.full((n_i, n_j), float(initial_v_y) * delta_t / delta_x, dtype=dtype),
+            jnp.full((n_i, n_j), float(initial_remodelling), dtype=dtype),
+        ]
+    )
+
+    if use_direct_solver:
+        all_u, infos = _solve_movie_direct(
+            np.asarray(movie_to_analyse, dtype=np.float64),
+            np.asarray(u_init, dtype=np.float64),
+            speed_alpha,
+            remodelling_alpha,
+            dy_mode,
+            warm_start,
+        )
+    else:
+        all_u, infos = _solve_movie(
+            movie_to_analyse,
+            u_init,
+            jnp.asarray(speed_alpha, dtype=dtype),
+            jnp.asarray(remodelling_alpha, dtype=dtype),
+            dy_mode,
+            solver.method,
+            solver.preconditioner,
+            solver.rtol,
+            solver.max_iterations,
+            solver.high_precision_reductions,
+            warm_start,
+        )
+
+    all_u = np.asarray(all_u)
+    scale = delta_x / delta_t
+    all_v_x = all_u[:, 0] * scale
+    all_v_y = all_u[:, 1] * scale
+    all_remodelling = all_u[:, 2]
+    all_speed = np.sqrt(all_v_x**2 + all_v_y**2)
+
+    l1_sum = float(np.sum(np.asarray(infos["L1_functional"])))
+    rem_sum = float(np.sum(np.asarray(infos["remodelling_functional"])))
+    speed_sum = float(np.sum(np.asarray(infos["speed_functional"])))
+    converged_all = np.asarray(infos["converged"])
+
+    result = FlowResult(
+        v_x=all_v_x,
+        v_y=all_v_y,
+        speed=all_speed,
+        remodelling=all_remodelling,
+        original_data=np.asarray(movie),
+        blurred_data=np.asarray(movie_to_analyse),
+        delta_x=delta_x,
+        delta_t=delta_t,
+        # the reference stores only the final pair's flag (ref :1202)
+        converged=bool(converged_all[-1]),
+        L1_functional=l1_sum,
+        remodelling_functional=rem_sum,
+    )
+    result["converged_all"] = converged_all
+    result["iterations"] = np.asarray(infos["iterations"])
+    result["residual_norms"] = np.asarray(infos["residual_norm"])
+    if dy_mode == stencils.DY_COMPAT:
+        # ref defect: 'speed_functional' holds the remodelling functional (:1205)
+        result["speed_functional"] = rem_sum
+        result["speed_functional_corrected"] = speed_sum
+    else:
+        result["speed_functional"] = speed_sum
+    return result
+
+
+def _solve_movie_direct(movie, u_init, speed_alpha, remodelling_alpha, dy_mode, warm_start):
+    """Host-side assembled spsolve path (CPU oracle / small images)."""
+    from opticalflow_tpu.solve import direct
+
+    n_pairs = movie.shape[0] - 1
+    all_u = np.zeros((n_pairs, 3, movie.shape[1], movie.shape[2]))
+    infos = {
+        "iterations": np.zeros(n_pairs, dtype=np.int32),
+        "residual_norm": np.zeros(n_pairs),
+        "converged": np.ones(n_pairs, dtype=bool),
+        "L1_functional": np.zeros(n_pairs),
+        "speed_functional": np.zeros(n_pairs),
+        "remodelling_functional": np.zeros(n_pairs),
+    }
+    u_prev = u_init
+    for k in range(n_pairs):
+        pair = elop.compute_frame_pair_data(
+            jnp.asarray(movie[k]), jnp.asarray(movie[k + 1]), speed_alpha, remodelling_alpha, dy_mode
+        )
+        u, _ = direct.direct_solve(pair.coeffs, np.asarray(pair.rhs))
+        u = np.stack([np.asarray(stencils.mirror_edges(jnp.asarray(u[q]))) for q in range(3)])
+        l1, sf, rf = _functionals(
+            jnp.asarray(u), pair, speed_alpha, remodelling_alpha, dy_mode
+        )
+        infos["L1_functional"][k] = float(l1)
+        infos["speed_functional"][k] = float(sf)
+        infos["remodelling_functional"][k] = float(rf)
+        all_u[k] = u
+        if warm_start == "sequential":
+            u_prev = u  # noqa: F841  (direct solve ignores the guess; chain kept for parity)
+    return all_u, infos

@@ -1,0 +1,229 @@
+"""Matrix-free Krylov solvers (BiCGStab, CG) in pure JAX.
+
+TPU-native replacement for the reference's PETSc KSP solve
+(/root/reference/source/optical_flow.py:1080-1157).  The reference uses
+``-ksp_type bcgs`` with a composite bjacobi/ilu/hypre preconditioner,
+rtol=1e-6, max_it=1000, unpreconditioned residual norm, and a warm start.
+Here the EL system is nonsymmetric, so BiCGStab is the primary method,
+with a right-applied preconditioner (so the monitored residual is the true
+unpreconditioned residual, matching the reference's NORM_UNPRECONDITIONED
+setting at :1126).
+
+Everything runs inside ``lax.while_loop`` — one XLA computation per solve,
+no host round-trips.  Dot products optionally accumulate in float64 even
+for float32 fields ("compensated" reductions) which stabilises BiCGStab at
+negligible cost (scalar work vs. memory-bound matvecs).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+MatVec = Callable[[jnp.ndarray], jnp.ndarray]
+Precond = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+class KrylovResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray  # int32
+    residual_norm: jnp.ndarray  # final unpreconditioned ||b - Ax||
+    converged: jnp.ndarray  # bool
+
+
+def _hp_dtype(dtype, high_precision: bool):
+    """float64 when requested *and actually available* (x64 enabled),
+    else the field dtype — avoids silent-truncation warnings on TPU."""
+    if high_precision and jax.config.jax_enable_x64 and dtype != jnp.float64:
+        return jnp.float64
+    return dtype
+
+
+def _make_dot(high_precision: bool, dtype):
+    acc = _hp_dtype(dtype, high_precision)
+
+    def dot(a, b):
+        if acc != a.dtype:
+            return jnp.sum(a.astype(acc) * b.astype(acc))
+        return jnp.sum(a * b)
+
+    return dot
+
+
+def bicgstab(
+    matvec: MatVec,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    precond: Optional[Precond] = None,
+    rtol: float = 1e-6,
+    atol: float = 0.0,
+    max_iterations: int = 1000,
+    high_precision_reductions: bool = True,
+    tol_floor_eps_multiple: float = 1000.0,
+) -> KrylovResult:
+    """Right-preconditioned BiCGStab.
+
+    Solves A x = b to ``||b - A x|| <= max(rtol * ||b||, atol)``, with the
+    tolerance floored at ``tol_floor_eps_multiple * eps(dtype) * ||b||`` —
+    the working-precision stall level of BiCGStab (see SolverConfig).
+    """
+    dot = _make_dot(high_precision_reductions, b.dtype)
+    acc = _hp_dtype(b.dtype, high_precision_reductions)
+    if precond is None:
+        precond = lambda r: r
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    r0 = b - matvec(x0)
+    rhat = r0
+    b_norm = jnp.sqrt(dot(b, b))
+    eff_rtol = jnp.maximum(rtol, tol_floor_eps_multiple * float(jnp.finfo(b.dtype).eps))
+    tol = jnp.maximum(eff_rtol * b_norm, atol).astype(b_norm.dtype)
+    eps = jnp.finfo(b.dtype).tiny
+
+    class State(NamedTuple):
+        x: jnp.ndarray
+        r: jnp.ndarray
+        p: jnp.ndarray
+        v: jnp.ndarray
+        rho: jnp.ndarray
+        alpha: jnp.ndarray
+        omega: jnp.ndarray
+        k: jnp.ndarray
+        res_norm: jnp.ndarray
+        breakdown: jnp.ndarray
+
+    one = jnp.asarray(1.0, dtype=acc)
+    init = State(
+        x=x0,
+        r=r0,
+        p=jnp.zeros_like(b),
+        v=jnp.zeros_like(b),
+        rho=one,
+        alpha=one,
+        omega=one,
+        k=jnp.asarray(0, jnp.int32),
+        res_norm=jnp.sqrt(dot(r0, r0)),
+        breakdown=jnp.asarray(False),
+    )
+
+    def cond(s: State):
+        return jnp.logical_and(
+            s.k < max_iterations,
+            jnp.logical_and(s.res_norm > tol, jnp.logical_not(s.breakdown)),
+        )
+
+    def body(s: State) -> State:
+        rho_new = dot(rhat, s.r)
+        safe_denom = jnp.where(jnp.abs(s.rho * s.omega) > 0, s.rho * s.omega, eps)
+        beta = (rho_new * s.alpha) / safe_denom
+        p = s.r + (beta * (s.p - s.omega * s.v).astype(acc)).astype(s.r.dtype)
+        phat = precond(p)
+        v = matvec(phat)
+        rhat_v = dot(rhat, v)
+        alpha = rho_new / jnp.where(jnp.abs(rhat_v) > 0, rhat_v, eps)
+        sbreak = jnp.logical_or(jnp.abs(rho_new) == 0, jnp.abs(rhat_v) == 0)
+        svec = s.r - (alpha * v.astype(acc)).astype(s.r.dtype)
+        shat = precond(svec)
+        t = matvec(shat)
+        tt = dot(t, t)
+        omega = dot(t, svec) / jnp.where(tt > 0, tt, eps)
+        x = (
+            s.x
+            + (alpha * phat.astype(acc)).astype(s.x.dtype)
+            + (omega * shat.astype(acc)).astype(s.x.dtype)
+        )
+        r = svec - (omega * t.astype(acc)).astype(s.r.dtype)
+        res_norm = jnp.sqrt(dot(r, r))
+        return State(
+            x=x,
+            r=r,
+            p=p,
+            v=v,
+            rho=rho_new,
+            alpha=alpha,
+            omega=omega,
+            k=s.k + 1,
+            res_norm=res_norm,
+            breakdown=sbreak,
+        )
+
+    final = lax.while_loop(cond, body, init)
+    # Recompute the true residual once (guards against drift of the
+    # recursively updated r, like the reference's independent check :1150-1151).
+    true_res = b - matvec(final.x)
+    true_norm = jnp.sqrt(dot(true_res, true_res))
+    return KrylovResult(
+        x=final.x,
+        iterations=final.k,
+        residual_norm=true_norm,
+        converged=true_norm <= tol,
+    )
+
+
+def cg(
+    matvec: MatVec,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    precond: Optional[Precond] = None,
+    rtol: float = 1e-6,
+    atol: float = 0.0,
+    max_iterations: int = 1000,
+    high_precision_reductions: bool = True,
+    tol_floor_eps_multiple: float = 1000.0,
+) -> KrylovResult:
+    """Preconditioned conjugate gradient (for SPD systems; kept for the
+    solver registry and future normal-equation / multigrid-smoothed paths).
+    """
+    dot = _make_dot(high_precision_reductions, b.dtype)
+    acc = _hp_dtype(b.dtype, high_precision_reductions)
+    if precond is None:
+        precond = lambda r: r
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    b_norm = jnp.sqrt(dot(b, b))
+    eff_rtol = jnp.maximum(rtol, tol_floor_eps_multiple * float(jnp.finfo(b.dtype).eps))
+    tol = jnp.maximum(eff_rtol * b_norm, atol).astype(b_norm.dtype)
+    eps = jnp.finfo(b.dtype).tiny
+
+    class State(NamedTuple):
+        x: jnp.ndarray
+        r: jnp.ndarray
+        z: jnp.ndarray
+        p: jnp.ndarray
+        rz: jnp.ndarray
+        k: jnp.ndarray
+        res_norm: jnp.ndarray
+
+    init = State(
+        x=x0, r=r0, z=z0, p=z0, rz=dot(r0, z0), k=jnp.asarray(0, jnp.int32),
+        res_norm=jnp.sqrt(dot(r0, r0)),
+    )
+
+    def cond(s: State):
+        return jnp.logical_and(s.k < max_iterations, s.res_norm > tol)
+
+    def body(s: State) -> State:
+        ap = matvec(s.p)
+        pap = dot(s.p, ap)
+        alpha = s.rz / jnp.where(jnp.abs(pap) > 0, pap, eps)
+        x = s.x + (alpha * s.p.astype(acc)).astype(s.x.dtype)
+        r = s.r - (alpha * ap.astype(acc)).astype(s.r.dtype)
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(s.rz) > 0, s.rz, eps)
+        p = z + (beta * s.p.astype(acc)).astype(s.p.dtype)
+        return State(x=x, r=r, z=z, p=p, rz=rz_new, k=s.k + 1, res_norm=jnp.sqrt(dot(r, r)))
+
+    final = lax.while_loop(cond, body, init)
+    true_res = b - matvec(final.x)
+    true_norm = jnp.sqrt(dot(true_res, true_res))
+    return KrylovResult(
+        x=final.x, iterations=final.k, residual_norm=true_norm, converged=true_norm <= tol
+    )
