@@ -243,20 +243,35 @@ def block_jacobi_inverse_apply(coeffs: ELCoefficients, r: jnp.ndarray) -> jnp.nd
 # ---------------------------------------------------------------------------
 
 
+def _extend_with_corners(u_int: jnp.ndarray, corner_factor: float) -> jnp.ndarray:
+    """Surround an interior stack with mirror boundary values, corners
+    scaled by ``corner_factor``.  Built from concatenations of slices —
+    deliberately NOT chained ``.at[].set`` updates, which the XLA SPMD
+    partitioner miscompiles on sharded arrays (jax 0.9: chained scatters
+    on a ('tx','ty')-sharded array silently produce wrong boundary values;
+    concatenation lowers to pad/slice which partitions correctly —
+    regression-tested in tests/test_parallel.py)."""
+    left = u_int[:, :, 1:2]
+    right = u_int[:, :, -2:-1]
+    wide = jnp.concatenate([left, u_int, right], axis=2)
+    top = jnp.concatenate(
+        [corner_factor * u_int[:, 1:2, 1:2], u_int[:, 1:2, :],
+         corner_factor * u_int[:, 1:2, -2:-1]],
+        axis=2,
+    )
+    bottom = jnp.concatenate(
+        [corner_factor * u_int[:, -2:-1, 1:2], u_int[:, -2:-1, :],
+         corner_factor * u_int[:, -2:-1, -2:-1]],
+        axis=2,
+    )
+    return jnp.concatenate([top, wide, bottom], axis=1)
+
+
 def extend_interior(u_int: jnp.ndarray) -> jnp.ndarray:
     """Extend an interior field stack ``(3, Ni-2, Nj-2)`` to the full grid
     using the boundary constraints (edge mirror; corner = sum of both
     mirrors = 2x the diagonal interior value)."""
-    u = jnp.pad(u_int, ((0, 0), (1, 1), (1, 1)))
-    u = u.at[:, 0, 1:-1].set(u_int[:, 1, :])
-    u = u.at[:, -1, 1:-1].set(u_int[:, -2, :])
-    u = u.at[:, 1:-1, 0].set(u_int[:, :, 1])
-    u = u.at[:, 1:-1, -1].set(u_int[:, :, -2])
-    u = u.at[:, 0, 0].set(2.0 * u_int[:, 1, 1])
-    u = u.at[:, 0, -1].set(2.0 * u_int[:, 1, -2])
-    u = u.at[:, -1, 0].set(2.0 * u_int[:, -2, 1])
-    u = u.at[:, -1, -1].set(2.0 * u_int[:, -2, -2])
-    return u
+    return _extend_with_corners(u_int, 2.0)
 
 
 def el_matvec_reduced(coeffs: ELCoefficients, u_int: jnp.ndarray) -> jnp.ndarray:
@@ -270,10 +285,7 @@ def embed_interior(u_int: jnp.ndarray) -> jnp.ndarray:
     corners take the *single* mirror value here, matching
     ``apply_constant_boundary_condition``, not the doubled constraint value.
     """
-    from opticalflow_tpu.core import stencils as _st
-
-    u = jnp.pad(u_int, ((0, 0), (1, 1), (1, 1)))
-    return jnp.stack([_st.mirror_edges(u[q]) for q in range(3)])
+    return _extend_with_corners(u_int, 1.0)
 
 
 def diag_blocks(coeffs: ELCoefficients):

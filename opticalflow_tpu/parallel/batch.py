@@ -1,0 +1,129 @@
+"""Sharded batched execution of the flow solvers over a device mesh.
+
+Frame pairs are sharded over the ``frames`` mesh axis and each image is
+tiled over ``(tx, ty)``.  Arrays are placed with NamedShardings and the
+solver is ``jit``-compiled over the mesh — the XLA SPMD partitioner
+inserts the 1-2 pixel halo exchanges for every stencil shift and turns
+the Krylov dot products into cross-chip ``psum``s (the scaling-book
+recipe: annotate shardings, let XLA place collectives).
+
+The batched path runs frame pairs cold-start (``warm_start='cold'``): the
+reference's sequential warm-start chain (ref optical_flow.py:803-806)
+serialises pairs, so batching trades a few extra Krylov iterations per
+pair for full data parallelism — a deliberate, documented semantic choice
+(SURVEY.md section 2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticalflow_tpu.core.types import SolverConfig
+from opticalflow_tpu.flow.variational import solve_frame_pair
+from opticalflow_tpu.parallel import mesh as mesh_lib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dy_mode", "method", "preconditioner", "max_iterations", "high_precision_reductions",
+    ),
+)
+def _batched_pair_solve(
+    prev_frames,
+    cur_frames,
+    u_init,
+    speed_alpha,
+    remodelling_alpha,
+    rtol,
+    dy_mode="compat",
+    method="bicgstab",
+    preconditioner="block_jacobi",
+    max_iterations=1000,
+    high_precision_reductions=True,
+):
+    solver = functools.partial(
+        solve_frame_pair,
+        speed_alpha=speed_alpha,
+        remodelling_alpha=remodelling_alpha,
+        dy_mode=dy_mode,
+        method=method,
+        preconditioner=preconditioner,
+        rtol=rtol,
+        max_iterations=max_iterations,
+        high_precision_reductions=high_precision_reductions,
+    )
+    return jax.vmap(lambda p, c: solver(p, c, u_init))(prev_frames, cur_frames)
+
+
+def sharded_variational_solve(
+    movie,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    speed_alpha: float = 1.0,
+    remodelling_alpha: float = 1000.0,
+    dy_mode: str = "compat",
+    solver: Optional[SolverConfig] = None,
+    dtype=jnp.float32,
+):
+    """Solve all frame pairs of a movie, sharded pairs x tiles over the mesh.
+
+    Returns ``(all_u, infos)`` like the single-chip batched path; unit
+    scaling and FlowResult packaging are the caller's concern (see
+    flow.variational.variational_optical_flow for the single-chip
+    equivalent).
+    """
+    solver = solver or SolverConfig(preconditioner="block_jacobi")
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    movie = jnp.asarray(movie, dtype=dtype)
+
+    prev = movie[:-1]
+    cur = movie[1:]
+    sharding = mesh_lib.pair_sharding(mesh)
+    prev = jax.device_put(prev, sharding)
+    cur = jax.device_put(cur, sharding)
+    u_init = jax.device_put(
+        jnp.zeros((3,) + movie.shape[1:], dtype=dtype),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "tx", "ty")),
+    )
+
+    all_u, infos = _batched_pair_solve(
+        prev,
+        cur,
+        u_init,
+        jnp.asarray(speed_alpha, dtype=dtype),
+        jnp.asarray(remodelling_alpha, dtype=dtype),
+        solver.rtol,
+        dy_mode=dy_mode,
+        method=solver.method,
+        preconditioner=solver.preconditioner,
+        max_iterations=solver.max_iterations,
+        high_precision_reductions=solver.high_precision_reductions,
+    )
+    return all_u, infos
+
+
+def sharded_box_flow(
+    movie,
+    box_size: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    delta_x: float = 1.0,
+    delta_t: float = 1.0,
+    include_remodelling: bool = False,
+    dtype=jnp.float32,
+):
+    """Box-method flow with frame pairs and tiles sharded over the mesh."""
+    from opticalflow_tpu.flow.boxflow import box_flow
+
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    movie = jnp.asarray(movie, dtype=dtype)
+    movie = jax.device_put(
+        movie, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "tx", "ty"))
+    )
+    return box_flow(movie, box_size, delta_x, delta_t, include_remodelling)

@@ -1,0 +1,66 @@
+"""Distributed execution on the virtual 8-device CPU mesh: sharded results
+must match the single-device path bit-for-bit-ish (tiled-vs-untiled
+comparison, SURVEY.md section 5 'race detection' analogue)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opticalflow_tpu.core.synth import make_translating_blob_movie
+from opticalflow_tpu.core.types import SolverConfig
+from opticalflow_tpu.parallel import mesh as mesh_lib
+from opticalflow_tpu.parallel.batch import sharded_box_flow, sharded_variational_solve
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def movie():
+    movie, _ = make_translating_blob_movie(
+        n_frames=5, dimension=32, width=10.0, sigma=2.0, v_x=0.1, v_y=0.05
+    )
+    return np.asarray(movie) * 100.0
+
+
+def test_mesh_factoring():
+    mesh = mesh_lib.make_mesh(jax.devices()[:8])
+    assert mesh.shape["frames"] * mesh.shape["tx"] * mesh.shape["ty"] == 8
+    mesh2 = mesh_lib.make_mesh(jax.devices()[:8], frames=2, tx=2, ty=2)
+    assert dict(mesh2.shape) == {"frames": 2, "tx": 2, "ty": 2}
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(jax.devices()[:8], frames=3, tx=2, ty=2)
+
+
+def test_sharded_variational_matches_single_device(movie):
+    mesh = mesh_lib.make_mesh(jax.devices()[:8], frames=2, tx=2, ty=2)
+    all_u_sharded, infos = sharded_variational_solve(
+        movie, mesh=mesh, speed_alpha=500.0, remodelling_alpha=500.0,
+        dtype=jnp.float64,
+    )
+
+    single_mesh = mesh_lib.make_mesh(jax.devices()[:1], frames=1, tx=1, ty=1)
+    all_u_single, _ = sharded_variational_solve(
+        movie, mesh=single_mesh, speed_alpha=500.0, remodelling_alpha=500.0,
+        dtype=jnp.float64,
+    )
+    # different meshes change reduction order -> Krylov paths diverge at
+    # machine level; solutions agree to the solve tolerance, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(all_u_sharded), np.asarray(all_u_single), rtol=1e-3, atol=1e-4
+    )
+    assert np.asarray(infos["converged"]).all()
+
+
+def test_sharded_box_flow_matches_single_device(movie):
+    from opticalflow_tpu.flow.boxflow import box_flow
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:8], frames=2, tx=2, ty=2)
+    vx_s, vy_s, speed_s, _ = sharded_box_flow(
+        movie, box_size=7, mesh=mesh, delta_x=0.5, dtype=jnp.float64
+    )
+    vx, vy, speed, _ = box_flow(jnp.asarray(movie, jnp.float64), 7, 0.5, 1.0, False)
+    np.testing.assert_allclose(np.asarray(vx_s), np.asarray(vx), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(speed_s), np.asarray(speed), rtol=1e-10, atol=1e-12)
