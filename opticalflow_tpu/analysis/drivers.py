@@ -1,0 +1,256 @@
+"""Analysis drivers — the engine's "CLI" layer.
+
+The reference drives experiments by (un)commenting calls in the
+``__main__`` blocks of three scripts
+(/root/reference/analysis/analyse_variational_optical_flow.py:729-755,
+analyse_short_timeinterval_data.py:819-833, compare_rho_and_actin.py:955-999).
+Here each experiment is a parameterised function plus one argparse CLI
+(``python -m opticalflow_tpu.analysis.drivers <experiment> ...``).
+
+Experiments mirroring the reference scripts:
+* ``synthetic-boundary``   — simple_test_with_data_on_boundary (:26-66)
+* ``synthetic-big``        — test_big_fake_data (:68-112), size configurable
+* ``synthetic-box-error``  — check_error_of_method (compare_rho_and_actin.py:302-375)
+* ``variational``          — apply_to_bischoff_data-style run on a TIFF/sequence
+* ``box``                  — production box-method run (compare_rho_and_actin.py:616-639)
+* ``sweep``                — regularisation sweep + heatmaps (:181-199, 274-303)
+* ``tune``                 — shgo regularisation optimization (:617-724)
+* ``downsampled``          — apply_to_downsampled_bischoff_data (:526-615)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+from opticalflow_tpu.analysis.statistics import ground_truth_error_statistics
+from opticalflow_tpu.analysis.sweeps import vary_regularisation
+from opticalflow_tpu.analysis.tuning import optimize_regularisation_parameters
+from opticalflow_tpu.core.synth import make_translating_blob_movie
+from opticalflow_tpu.core.types import FlowResult
+from opticalflow_tpu.flow.boxflow import conduct_optical_flow
+from opticalflow_tpu.flow.variational import variational_optical_flow
+from opticalflow_tpu.ops.resize import downsample_movie
+
+
+def _load_movie(path: str, dtype=np.float64) -> np.ndarray:
+    from opticalflow_tpu.io.sequences import read_image_sequence_as_movie, read_tiff_movie
+
+    if os.path.isdir(path):
+        return read_image_sequence_as_movie(path, dtype=dtype)
+    return read_tiff_movie(path, dtype=dtype)
+
+
+def run_synthetic_boundary(output_dir: str, dimension: int = 100,
+                           speed_alpha: float = 1e4, remodelling_alpha: float = 1e4):
+    """Blob translating through the domain (data touching the boundary),
+    variational solve + overlay movie (ref analyse_variational_optical_flow.py:26-66)."""
+    movie, delta_x = make_translating_blob_movie(
+        n_frames=3, dimension=dimension, width=20.0, sigma=5.0, v_x=0.2, v_y=0.0,
+        start=(2.0, 10.0),
+    )
+    movie = np.asarray(movie) * 255.0
+    result = variational_optical_flow(
+        movie, delta_x=delta_x, speed_alpha=speed_alpha,
+        remodelling_alpha=remodelling_alpha,
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    result.save(os.path.join(output_dir, "synthetic_boundary_result.npy"))
+    from opticalflow_tpu.viz.plots import make_joint_overlay_movie
+
+    make_joint_overlay_movie(
+        result, os.path.join(output_dir, "synthetic_boundary.mp4"),
+        autoscale=True, arrow_boxsize=max(4, dimension // 25), dpi=150,
+    )
+    return result
+
+
+def run_synthetic_box_error(output_dir: str, include_noise: bool = False,
+                            dimension: int = 256):
+    """Box-method accuracy vs known velocities (v_x=0.1, v_y=0.2), with
+    histograms (ref compare_rho_and_actin.py:302-375)."""
+    x_velocity, y_velocity, delta_t = 0.1, 0.2, 0.5
+    movie, delta_x = make_translating_blob_movie(
+        n_frames=5, dimension=dimension, width=20.0, sigma=1.0,
+        v_x=x_velocity * delta_t, v_y=y_velocity * delta_t, start=(5.0, 3.0),
+        include_noise=include_noise,
+    )
+    result = conduct_optical_flow(np.asarray(movie), boxsize=15, delta_x=delta_x,
+                                  delta_t=delta_t, dtype=np.float64)
+    stats = ground_truth_error_statistics(result, x_velocity, y_velocity)
+    os.makedirs(output_dir, exist_ok=True)
+    suffix = "_with_noise" if include_noise else "_without_noise"
+    result.save(os.path.join(output_dir, f"fake_flow_result{suffix}.npy"))
+
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(4.5, 2.5))
+    for k, (key, truth) in enumerate([("v_x", x_velocity), ("v_y", y_velocity)]):
+        plt.subplot(1, 2, k + 1)
+        finite = np.asarray(result[key])
+        finite = finite[np.isfinite(finite)]
+        plt.hist(finite.ravel(), bins=100)
+        plt.axvline(truth, color="red", lw=0.2)
+        plt.xlabel(f"$\\mathrm{{{key}}}$ values")
+        plt.ylabel("Number of Pixels")
+    plt.tight_layout()
+    plt.savefig(os.path.join(output_dir, f"fake_v_histogram{suffix}.pdf"))
+    plt.close()
+    print("ground-truth error statistics:", stats)
+    return result, stats
+
+
+def run_variational(movie_path: str, output_dir: str, delta_x: float = 1.0,
+                    delta_t: float = 1.0, speed_alpha: float = 1000.0,
+                    remodelling_alpha: float = 1000.0,
+                    smoothing_sigma: Optional[float] = None,
+                    frames: Optional[str] = None, downsample: Optional[float] = None):
+    """Full variational run on a movie file/folder (the
+    apply_to_bischoff_data workload, ref analyse_variational_optical_flow.py:201-272,
+    with optional INTER_AREA downsampling, :526-615)."""
+    movie = _load_movie(movie_path)
+    if frames:
+        start, stop = (int(x) for x in frames.split(":"))
+        movie = movie[start:stop]
+    if downsample:
+        movie = np.asarray(downsample_movie(movie, downsample))
+        delta_x = delta_x / downsample
+    result = variational_optical_flow(
+        movie, delta_x=delta_x, delta_t=delta_t, speed_alpha=speed_alpha,
+        remodelling_alpha=remodelling_alpha, smoothing_sigma=smoothing_sigma,
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    result.save(os.path.join(output_dir, "variational_result.npy"))
+    from opticalflow_tpu.viz.plots import make_joint_overlay_movie
+
+    make_joint_overlay_movie(result, os.path.join(output_dir, "variational_joint.mp4"),
+                             autoscale=True, dpi=150)
+    return result
+
+
+def run_box(movie_path: str, output_dir: str, delta_x: float = 0.0913,
+            delta_t: float = 10.0, boxsize: int = 31, smoothing_sigma: float = 3.0,
+            include_remodelling: bool = False):
+    """Production box-method run (ref compare_rho_and_actin.py:616-639
+    defaults: boxsize=31, sigma=3, actin/Rho pixel geometry :21-22)."""
+    movie = _load_movie(movie_path)
+    result = conduct_optical_flow(
+        movie, boxsize=boxsize, delta_x=delta_x, delta_t=delta_t,
+        smoothing_sigma=smoothing_sigma, include_remodelling=include_remodelling,
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    result.save(os.path.join(output_dir, "box_flow_result.npy"))
+    return result
+
+
+def run_sweep(movie_path: str, output_dir: str, delta_x: float = 1.0,
+              delta_t: float = 1.0, alphas: str = "500,1000,1500",
+              remodelling_alphas: Optional[str] = None, log_axes: bool = False,
+              frames: Optional[str] = None):
+    movie = _load_movie(movie_path)
+    if frames:
+        start, stop = (int(x) for x in frames.split(":"))
+        movie = movie[start:stop]
+    speed_values = np.array([float(x) for x in alphas.split(",")])
+    rem_values = (
+        np.array([float(x) for x in remodelling_alphas.split(",")])
+        if remodelling_alphas else speed_values
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    result = vary_regularisation(
+        movie, speed_values, rem_values, delta_x=delta_x, delta_t=delta_t,
+        filename=os.path.join(output_dir, "regularisation_sweep.npy"),
+    )
+    from opticalflow_tpu.viz.plots import plot_regularisation_variation
+
+    plot_regularisation_variation(
+        result, os.path.join(output_dir, "regularisation_sweep.pdf"),
+        use_log_axes=log_axes, use_log_colorbar=log_axes,
+    )
+    return result
+
+
+def run_tune(movie_path: str, output_dir: str, delta_x: float = 1.0,
+             delta_t: float = 1.0, resolution: int = 150,
+             smoothing_sigma: float = 1.0, frames: Optional[str] = None):
+    """shgo regularisation tuning on a downsampled movie
+    (ref analyse_variational_optical_flow.py:617-724 semantics: INTER_AREA
+    downsample to `resolution`, direct solver, log10 bounds)."""
+    movie = _load_movie(movie_path)
+    if frames:
+        start, stop = (int(x) for x in frames.split(":"))
+        movie = movie[start:stop]
+    from opticalflow_tpu.ops.resize import area_resize_movie
+
+    scaled_delta_x = movie.shape[1] / resolution * delta_x
+    movie_small = np.asarray(area_resize_movie(movie, resolution, resolution))
+    optimal, value, opt = optimize_regularisation_parameters(
+        movie_small, delta_x=scaled_delta_x, delta_t=delta_t,
+        smoothing_sigma=smoothing_sigma, initial_v_x=0.07, initial_v_y=0.07,
+        initial_remodelling=10.0, use_direct_solver=True, verbose=True,
+    )
+    print("Optimal regularisation:", optimal)
+    print("Minimum value:", value)
+    print("Number of function evaluations:", opt.nfev)
+    os.makedirs(output_dir, exist_ok=True)
+    np.save(os.path.join(output_dir, "optimal_regularisation.npy"),
+            {"optimal": optimal, "functional": value, "nfev": opt.nfev})
+    return optimal, value
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="opticalflow_tpu.analysis.drivers")
+    sub = parser.add_subparsers(dest="experiment", required=True)
+
+    p = sub.add_parser("synthetic-boundary")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--dimension", type=int, default=100)
+
+    p = sub.add_parser("synthetic-box-error")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--include-noise", action="store_true")
+    p.add_argument("--dimension", type=int, default=256)
+
+    for name in ("variational", "box", "sweep", "tune"):
+        p = sub.add_parser(name)
+        p.add_argument("movie_path")
+        p.add_argument("--output-dir", default="output")
+        p.add_argument("--delta-x", type=float, default=1.0)
+        p.add_argument("--delta-t", type=float, default=1.0)
+        p.add_argument("--frames", default=None, help="start:stop frame slice")
+        if name == "variational":
+            p.add_argument("--speed-alpha", type=float, default=1000.0)
+            p.add_argument("--remodelling-alpha", type=float, default=1000.0)
+            p.add_argument("--smoothing-sigma", type=float, default=None)
+            p.add_argument("--downsample", type=float, default=None)
+        if name == "box":
+            p.add_argument("--boxsize", type=int, default=31)
+            p.add_argument("--smoothing-sigma", type=float, default=3.0)
+            p.add_argument("--include-remodelling", action="store_true")
+        if name == "sweep":
+            p.add_argument("--alphas", default="500,1000,1500")
+            p.add_argument("--remodelling-alphas", default=None)
+            p.add_argument("--log-axes", action="store_true")
+        if name == "tune":
+            p.add_argument("--resolution", type=int, default=150)
+            p.add_argument("--smoothing-sigma", type=float, default=1.0)
+
+    args = vars(parser.parse_args(argv))
+    experiment = args.pop("experiment")
+    fn = {
+        "synthetic-boundary": run_synthetic_boundary,
+        "synthetic-box-error": run_synthetic_box_error,
+        "variational": run_variational,
+        "box": run_box,
+        "sweep": run_sweep,
+        "tune": run_tune,
+    }[experiment]
+    kwargs = {k.replace("-", "_"): v for k, v in args.items()}
+    return fn(**kwargs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,280 @@
+"""Visualization / reporting (host-side matplotlib + ffmpeg).
+
+Equivalents of the reference's L2 layer
+(/root/reference/source/optical_flow.py:1531-1916, 2000-2139):
+``costum_imshow`` (kept under its original name for API parity, with a
+correctly spelled alias), arrow subsampling, velocity overlay movies, the
+6-panel joint overlay movie, convergence plots, and the regularisation
+sweep heatmaps.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+import matplotlib
+
+if os.environ.get("DISPLAY", "") == "":
+    matplotlib.use("Agg")
+import matplotlib.colors
+import matplotlib.pyplot as plt
+import matplotlib.ticker
+from matplotlib.animation import FuncAnimation
+
+def _save_animation(ani, filename, dpi):
+    """Save an animation; if no ffmpeg writer is available (this image
+    ships only pillow/html writers) fall back to an animated GIF next to
+    the requested name."""
+    import matplotlib.animation as _anim
+
+    try:
+        ani.save(filename, dpi=dpi)
+        return filename
+    except (KeyError, ValueError, RuntimeError):
+        if "ffmpeg" not in _anim.writers.list():
+            fallback = os.path.splitext(filename)[0] + ".gif"
+            ani.save(fallback, dpi=dpi, writer="pillow")
+            return fallback
+        raise
+
+
+_FONT = {"size": 10, "sans-serif": "Arial"}
+plt.rc("font", **_FONT)
+plt.rc("axes", titlesize=10)
+plt.rc("figure", titlesize=10)
+
+
+def costum_imshow(image, delta_x, cmap="gray_r", autoscale=False, v_min=0.0,
+                  v_max=255.0, unit=r"$\mathrm{\mu}$m"):
+    """Show an image with physical-extent axes, inverted grayscale, no
+    interpolation (ref :1531-1572)."""
+    if autoscale:
+        v_min = None
+        v_max = None
+    x_extent = image.shape[0] * delta_x
+    y_extent = image.shape[1] * delta_x
+    plt.imshow(image, cmap=cmap, extent=[0, y_extent, x_extent, 0],
+               vmin=v_min, vmax=v_max, interpolation=None)
+    plt.xlabel("y-position [" + unit + "]")
+    plt.ylabel("x-position [" + unit + "]")
+
+
+custom_imshow = costum_imshow  # correctly spelled alias
+
+
+def subsample_velocities_for_visualisation(flow_result, iteration: Optional[int] = None,
+                                           arrow_boxsize: int = 5):
+    """Pick the velocity at the centre pixel of every ``arrow_boxsize`` box
+    for quiver plotting (ref :1574-1646).  Vectorized."""
+    v_x = flow_result["v_x_steps"] if iteration is not None else flow_result["v_x"]
+    v_y = flow_result["v_y_steps"] if iteration is not None else flow_result["v_y"]
+    if iteration is not None:
+        v_x = v_x[:, iteration]
+        v_y = v_y[:, iteration]
+    n_pairs, xpix, ypix = v_x.shape
+    x_extent = xpix * flow_result["delta_x"]
+    y_extent = ypix * flow_result["delta_x"]
+    nbx = xpix // arrow_boxsize
+    nby = ypix // arrow_boxsize
+    half = round(arrow_boxsize / 2)
+    centres_x = np.arange(nbx) * arrow_boxsize + half
+    centres_y = np.arange(nby) * arrow_boxsize + half
+    sub_vx = np.asarray(v_x)[:, centres_x[:, None], centres_y[None, :]]
+    sub_vy = np.asarray(v_y)[:, centres_x[:, None], centres_y[None, :]]
+    x_positions = centres_x.astype(float) / xpix * x_extent
+    y_positions = centres_y.astype(float) / ypix * y_extent
+    return x_positions, y_positions, sub_vx, sub_vy
+
+
+def make_velocity_overlay_movie(flow_result, filename, arrow_boxsize=5,
+                                arrow_scale=1.0, cmap="gray_r", autoscale=False,
+                                arrow_color="magenta", arrow_width=None,
+                                v_min=0.0, v_max=255.0, dpi=600):
+    """Image + quiver animation -> video file (ref :1649-1700)."""
+    movie = np.asarray(flow_result["original_data"])
+    x_pos, y_pos, v_x, v_y = subsample_velocities_for_visualisation(
+        flow_result, arrow_boxsize=arrow_boxsize
+    )
+    fig = plt.figure(figsize=(2.5, 2.5))
+
+    def animate(i):
+        plt.cla()
+        costum_imshow(movie[i + 1], delta_x=flow_result["delta_x"], cmap=cmap,
+                      autoscale=autoscale, v_min=v_min, v_max=v_max)
+        # matplotlib's image coordinates flip the first axis for quiver
+        plt.quiver(y_pos, x_pos, v_y[i], -v_x[i], color=arrow_color, headwidth=5,
+                   scale=1.0 / arrow_scale, width=arrow_width)
+        if i < 1:
+            plt.tight_layout()
+
+    ani = FuncAnimation(fig, animate, frames=movie.shape[0] - 1)
+    _save_animation(ani, filename, dpi)
+    plt.close(fig)
+
+
+def make_joint_overlay_movie(flow_result, filename, arrow_boxsize=5, arrow_scale=1.0,
+                             arrow_width=None, cmap="gray_r", autoscale=False,
+                             arrow_color="magenta", v_min=0.0, v_max=255.0, dpi=600):
+    """6-panel animation: original+quiver, blurred+quiver, speed,
+    remodelling, v_x, v_y (ref :1825-1916)."""
+    original = np.asarray(flow_result["original_data"])
+    blurred = np.asarray(flow_result["blurred_data"])
+    x_pos, y_pos, v_x, v_y = subsample_velocities_for_visualisation(
+        flow_result, arrow_boxsize=arrow_boxsize
+    )
+    delta_x = flow_result["delta_x"]
+    fmt = matplotlib.ticker.StrMethodFormatter("{x:.2f}")
+    fig = plt.figure(figsize=(6.5, 4.5), constrained_layout=True)
+
+    panels = [
+        ("speed", "viridis", r"Motion speed [$\mathrm{\mu m}$/s]"),
+        ("remodelling", "plasma", "Net remodelling"),
+        ("v_x", "plasma", r"x velocity [$\mathrm{\mu m}$/s]"),
+        ("v_y", "plasma", r"y velocity [$\mathrm{\mu m}$/s]"),
+    ]
+
+    def animate(i):
+        plt.clf()
+        plt.subplot(231)
+        costum_imshow(original[i], delta_x=delta_x, cmap=cmap, autoscale=autoscale,
+                      v_min=v_min, v_max=v_max)
+        plt.quiver(y_pos, x_pos, v_y[i], -v_x[i], color=arrow_color, headwidth=5,
+                   scale=1.0 / arrow_scale, width=arrow_width)
+        plt.title("Original data")
+        plt.subplot(232)
+        costum_imshow(blurred[i], delta_x=delta_x, cmap=cmap, autoscale=autoscale,
+                      v_min=v_min, v_max=v_max)
+        plt.quiver(y_pos, x_pos, v_y[i], -v_x[i], color=arrow_color, headwidth=5,
+                   scale=1.0 / arrow_scale, width=arrow_width)
+        plt.title("Blurred")
+        for panel_index, (key, pcmap, title) in enumerate(panels):
+            plt.subplot(233 + panel_index)
+            field = np.asarray(flow_result[key])
+            costum_imshow(field[i], delta_x=delta_x, autoscale=True, cmap=pcmap)
+            plt.ylabel("")
+            colorbar = plt.colorbar(shrink=0.6)
+            plt.clim(field.min(), field.max())
+            colorbar.formatter = fmt
+            plt.title(title)
+
+    ani = FuncAnimation(fig, animate, frames=original.shape[0] - 1)
+    _save_animation(ani, filename, dpi)
+    plt.close(fig)
+
+
+def make_convergence_plots(result, filename_start, dpi=300):
+    """Relative step-size vs iteration plots + compound animation
+    (ref :1702-1823). Needs a result produced with return_iterations."""
+    iterations = result["max_iterations"]
+    step = result["iteration_stepsize"]
+    delta_x = result["delta_x"]
+    original = np.asarray(result["original_data"])
+    stepsizes = np.arange(0, iterations + 0.5, step, dtype=int)
+
+    def relative_steps(key):
+        steps = np.asarray(result[key])[0]
+        num = np.linalg.norm(steps[1:] - steps[:-1], axis=(1, 2))
+        den = np.linalg.norm(steps[1:], axis=(1, 2))
+        return num / np.where(den == 0, 1.0, den)
+
+    speed_error = relative_steps("speed_steps")
+    remodelling_error = relative_steps("remodelling_steps")
+
+    for name, err in [("speed", speed_error), ("remodelling", remodelling_error)]:
+        plt.figure(figsize=(2.5, 2.5), constrained_layout=True)
+        plt.plot(stepsizes[1:], err)
+        plt.title(f"{name.capitalize()} stepsize per {step}\niterations")
+        plt.yscale("log")
+        plt.xlabel("iterations")
+        plt.ylabel("relative step size")
+        plt.savefig(filename_start + f"{name}_convergence.pdf")
+        plt.close()
+
+    fig = plt.figure(figsize=(6.5, 4.5), constrained_layout=True)
+
+    def animate(i):
+        plt.clf()
+        plt.suptitle("Iteration " + str(stepsizes[i]))
+        x_pos, y_pos, v_x, v_y = subsample_velocities_for_visualisation(
+            result, iteration=i, arrow_boxsize=4
+        )
+        plt.subplot(231)
+        costum_imshow(original[0], delta_x=delta_x, v_min=original[0].min(),
+                      v_max=original[0].max())
+        plt.quiver(y_pos, x_pos, v_y[0], -v_x[0], color="magenta", headwidth=5, scale=None)
+        plt.xlabel("")
+        for panel_index, (key, pcmap, title) in enumerate([
+            ("speed_steps", "viridis", r"Motion speed [$\mathrm{\mu m}$/s]"),
+            ("remodelling_steps", "plasma", "Net remodelling"),
+            ("v_x_steps", "viridis", r"x velocity [$\mathrm{\mu m}$/s]"),
+            ("v_y_steps", "viridis", r"y velocity [$\mathrm{\mu m}$/s]"),
+        ]):
+            plt.subplot(232 + panel_index)
+            steps = np.asarray(result[key])
+            costum_imshow(steps[0, i], delta_x=delta_x, autoscale=True, cmap=pcmap)
+            plt.colorbar(shrink=0.6)
+            plt.clim(steps.min(), steps.max())
+            plt.title(title)
+        plt.subplot(236)
+        plt.plot(stepsizes[1:], speed_error)
+        idx = min(i, len(speed_error) - 1)
+        plt.scatter(stepsizes[idx + 1], speed_error[idx])
+        plt.title(f"Speed stepsize per {step}\niterations")
+        plt.yscale("log")
+        plt.xlabel("iterations")
+        plt.ylabel("relative step size")
+
+    ani = FuncAnimation(fig, animate, frames=np.asarray(result["speed_steps"]).shape[1])
+    _save_animation(ani, filename_start + "compound_figures.mp4", dpi)
+    plt.close(fig)
+
+
+def plot_regularisation_variation(variation_result, filename, use_log_axes=False,
+                                  use_log_colorbar=False):
+    """4-panel sweep heatmaps: mean speed, speed COV, mean remodelling,
+    remodelling COV; non-converged cells masked to NaN (ref :2000-2139)."""
+    speed_alphas = np.asarray(variation_result["speed_alpha_values"])
+    rem_alphas = np.asarray(variation_result["remodelling_alpha_values"])
+    rem_grid, speed_grid = np.meshgrid(rem_alphas, speed_alphas)
+    if use_log_axes:
+        extent_s = float(np.ptp(np.log(speed_alphas)))
+        extent_r = float(np.ptp(np.log(rem_alphas)))
+    else:
+        extent_s = float(np.ptp(speed_alphas))
+        extent_r = float(np.ptp(rem_alphas))
+    aspect = extent_s / extent_r if extent_r else 1.0
+    not_converged = np.logical_not(np.asarray(variation_result["converged"]))
+    norm = matplotlib.colors.LogNorm() if use_log_colorbar else None
+
+    def masked(key):
+        data = np.array(variation_result[key], dtype=float, copy=True)
+        data[not_converged] = np.nan
+        return data
+
+    speed_means = masked("speed_means")
+    speed_cov = np.sqrt(masked("speed_variances")) / np.abs(speed_means)
+    rem_means = masked("remodelling_means")
+    rem_cov = np.sqrt(masked("remodelling_variances")) / np.abs(rem_means)
+
+    plt.figure(figsize=(6.5, 4.5), constrained_layout=True)
+    for k, (data, title) in enumerate([
+        (speed_means, "Mean speed"),
+        (speed_cov, "Speed COV"),
+        (rem_means, "Mean remodelling"),
+        (rem_cov, "Remodelling COV"),
+    ]):
+        plt.subplot(221 + k)
+        plt.pcolormesh(speed_grid, rem_grid, data, cmap="viridis", norm=norm)
+        plt.gca().set_aspect(aspect)
+        if use_log_axes:
+            plt.xscale("log")
+            plt.yscale("log")
+        plt.colorbar()
+        plt.xlabel(r"$\alpha_{\mathrm{speed}}$")
+        plt.ylabel(r"$\alpha_{\mathrm{remodelling}}$")
+        plt.title(title)
+    plt.savefig(filename)
+    plt.close()
