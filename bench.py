@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 DIM = 256
-N_PAIRS = 6  # note: batch=8 hits an XLA tiling pathology (8.5x slowdown); 6 and 9 are fine
+N_PAIRS = 12  # best measured throughput point (batch=8/32 hit XLA batch pathologies)
 ALPHA_S = 1000.0
 ALPHA_R = 1000.0
 RTOL = 1e-6

@@ -64,13 +64,36 @@ def read_image_sequence(path_to_images: str) -> List[np.ndarray]:
 
 
 def read_image_sequence_as_movie(path_to_images: str, dtype=np.float64) -> np.ndarray:
-    """(T, X, Y) stack from a folder of same-shaped single-channel images."""
+    """(T, X, Y) stack from a folder of same-shaped single-channel images.
+
+    TIFF/PGM sequences go through the native parallel decoder when
+    available; anything else uses the per-file python readers."""
+    paths = list_file_paths_in_folder_numerically(path_to_images)
+    if paths and all(p.lower().endswith((".tif", ".tiff", ".pgm")) for p in paths):
+        from opticalflow_tpu.io import native_loader
+
+        if native_loader.available():
+            try:
+                return np.asarray(native_loader.read_sequence_native(paths), dtype=dtype)
+            except ValueError:
+                pass
     frames = read_image_sequence(path_to_images)
     return np.stack([np.asarray(f, dtype=dtype) for f in frames])
 
 
 def read_tiff_movie(path: str, dtype=np.float64) -> np.ndarray:
-    """A multi-page TIFF as a (T, X, Y) stack (the drivers' tifffile.imread)."""
+    """A multi-page TIFF as a (T, X, Y) stack (the drivers' tifffile.imread).
+
+    Prefers the native multithreaded loader (io.native_loader) for
+    uncompressed grayscale stacks; falls back to tifffile/PIL otherwise.
+    """
+    from opticalflow_tpu.io import native_loader
+
+    if native_loader.available():
+        try:
+            return np.asarray(native_loader.read_tiff_movie_native(path), dtype=dtype)
+        except ValueError:
+            pass  # compressed/exotic TIFF -> python fallbacks
     try:
         import tifffile
 

@@ -14,8 +14,10 @@ exploit the problem's geometry:
   the fine operator to 27 period-3 comb vectors (3 fields x 9 shifts)
   recovers every coarse stencil entry exactly, because a period-3 comb
   isolates each 9-point coupling.  All probes are batched with vmap;
-* the smoother is 4-colour (2x2) block Gauss-Seidel with exact 3x3
-  diagonal-block inverses — each colour update is data-parallel;
+* the smoother is damped block-Jacobi (omega=0.7, 2 sweeps) with exact
+  3x3 diagonal-block inverses — measured equal convergence to 4-colour
+  block Gauss-Seidel at half the matvec cost and with no sequential
+  colour dependencies (GS remains available via ``smoother='gs'``);
 * the coarsest level is solved exactly with a dense LU (the operator is
   materialised by one-hot probing — the grid there is tiny).
 
@@ -158,6 +160,14 @@ def gs_sweep(matvec, binv, masks, x, b, reverse: bool = False):
     return x
 
 
+def jacobi_sweep(matvec, binv, x, b, damp: float = 0.7, sweeps: int = 2):
+    """Damped block-Jacobi smoothing: x += damp * Binv (b - A x)."""
+    for _ in range(sweeps):
+        r = b - matvec(x)
+        x = x + damp * jnp.einsum("ijoq,qij->oij", binv, r)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Hierarchy setup + V-cycle
 # ---------------------------------------------------------------------------
@@ -239,9 +249,15 @@ def setup(
     return MGHierarchy(levels=tuple(levels), coarse_solve=coarse_solve)
 
 
-def v_cycle(h: MGHierarchy, b: jnp.ndarray, n_smooth: int = 1) -> jnp.ndarray:
+def v_cycle(h: MGHierarchy, b: jnp.ndarray, n_smooth: int = 1,
+            smoother: str = "jacobi") -> jnp.ndarray:
     """One V(n,n)-cycle from a zero initial guess — a fixed linear operator
     usable as a Krylov preconditioner."""
+
+    def smooth(level, x, b_l, reverse):
+        if smoother == "jacobi":
+            return jacobi_sweep(level.matvec, level.binv, x, b_l)
+        return gs_sweep(level.matvec, level.binv, level.masks, x, b_l, reverse=reverse)
 
     def descend(lvl: int, b_l: jnp.ndarray) -> jnp.ndarray:
         if lvl == len(h.levels) - 1:
@@ -249,13 +265,13 @@ def v_cycle(h: MGHierarchy, b: jnp.ndarray, n_smooth: int = 1) -> jnp.ndarray:
         level = h.levels[lvl]
         x = jnp.zeros_like(b_l)
         for _ in range(n_smooth):
-            x = gs_sweep(level.matvec, level.binv, level.masks, x, b_l)
+            x = smooth(level, x, b_l, reverse=False)
         r = b_l - level.matvec(x)
         nxt = h.levels[lvl + 1]
         e = descend(lvl + 1, restrict(r, nxt.shape))
         x = x + prolong(e, level.shape)
         for _ in range(n_smooth):
-            x = gs_sweep(level.matvec, level.binv, level.masks, x, b_l, reverse=True)
+            x = smooth(level, x, b_l, reverse=True)
         return x
 
     return descend(0, b)
