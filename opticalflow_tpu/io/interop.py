@@ -122,6 +122,38 @@ def threshold_PIV_vectors(x_locations, y_locations, v_x, v_y, speed, raw_movie,
         speed[k][kill] = 0.0
 
 
+def convert_mudic_result(displacement_field, coordinates,
+                         delta_x: float = 1.0, delta_t: float = 1.0) -> dict:
+    """muDIC (digital image correlation) fields -> velocity/coordinate
+    arrays in physical units (ref analysis/try_mu_dic.py:42-53).
+
+    ``displacement_field`` / ``coordinates`` are muDIC ``Fields.disp()`` /
+    ``Fields.coords()`` arrays of shape (1, 2, n_elx, n_ely, n_frames); the
+    muDIC package itself is not required (it is absent from this image) —
+    callers run the DIC job elsewhere and convert its arrays here.
+    """
+    displacement_field = np.asarray(displacement_field)
+    coordinates = np.asarray(coordinates)
+    n_frames = displacement_field.shape[-1]
+    scale = delta_x / delta_t
+    v_x = np.moveaxis(displacement_field[0, 0], -1, 0) * scale
+    v_y = np.moveaxis(displacement_field[0, 1], -1, 0) * scale
+    x_coords = np.moveaxis(coordinates[0, 0], -1, 0) * delta_x
+    y_coords = np.moveaxis(coordinates[0, 1], -1, 0) * delta_x
+    return {
+        "v_x": v_x,
+        "v_y": v_y,
+        "speed": np.sqrt(v_x**2 + v_y**2),
+        "x_coords": x_coords,
+        "y_coords": y_coords,
+        "x_start_coords": coordinates[0, 0, :, :, 0] * delta_x,
+        "y_start_coords": coordinates[0, 1, :, :, 0] * delta_x,
+        "n_frames": n_frames,
+        "delta_x": delta_x,
+        "delta_t": delta_t,
+    }
+
+
 def convert_ncorr_result(ncorr_result, delta_x: float = 1.0, delta_t: float = 1.0,
                          corrcoef_threshold: float = 0.3):
     """Ncorr (digital image correlation) .mat -> (v_x, v_y) with

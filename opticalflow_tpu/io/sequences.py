@@ -110,6 +110,23 @@ def read_tiff_movie(path: str, dtype=np.float64) -> np.ndarray:
     return np.asarray(data, dtype=dtype)
 
 
+def rename_images(source_folder: str, target_folder: str,
+                  remove_substring: str) -> List[str]:
+    """Copy every file from ``source_folder`` to ``target_folder`` with
+    ``remove_substring`` stripped from its name (the utility role of ref
+    analysis/rename_images.py)."""
+    import shutil
+
+    os.makedirs(target_folder, exist_ok=True)
+    renamed = []
+    for name in sorted(os.listdir(source_folder)):
+        new_name = name.replace(remove_substring, "")
+        shutil.copy2(os.path.join(source_folder, name),
+                     os.path.join(target_folder, new_name))
+        renamed.append(new_name)
+    return renamed
+
+
 def renumber_files(folder: str, offset: int, pattern: str = r"(\d+)",
                    dry_run: bool = False) -> List[str]:
     """Shift the numeric part of every filename by ``offset``

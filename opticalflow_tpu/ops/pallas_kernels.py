@@ -156,7 +156,7 @@ def _matvec_padded(coeff_padded, scalars, u_ext, m, n, interpret=False):
         grid=(grid_m,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((13, BM, np_), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, BM, np_), lambda i: (0, i, 0), memory_space=pltpu.VMEM),

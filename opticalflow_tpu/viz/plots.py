@@ -278,3 +278,72 @@ def plot_regularisation_variation(variation_result, filename, use_log_axes=False
         plt.title(title)
     plt.savefig(filename)
     plt.close()
+
+
+def plot_angle_histogram(flow_result, filename, weighted=False, dpi=300):
+    """Histogram of velocity angles to the y axis (in units of pi),
+    optionally speed-weighted (ref analysis/compare_rho_and_actin.py:442-455,
+    postprocess_PIV.py:181-225)."""
+    from opticalflow_tpu.analysis.statistics import velocity_angles
+
+    angles = velocity_angles(flow_result)
+    finite = np.isfinite(angles)
+    plt.figure(figsize=(2.5, 2.5), constrained_layout=True)
+    if weighted:
+        speed = np.asarray(flow_result["speed"])[finite]
+        plt.hist(angles[finite].ravel() / np.pi, bins=50, weights=speed.ravel(),
+                 density=True)
+        plt.xlabel("Weighted angle to y axis")
+        plt.ylabel("Density")
+    else:
+        plt.hist(angles[finite].ravel() / np.pi, bins=50, range=(-1, 1))
+        plt.xlabel("Angle to y axis")
+        plt.ylabel("Number of boxes")
+    plt.gca().xaxis.set_major_formatter(
+        matplotlib.ticker.FormatStrFormatter(r"%g$\mathrm{\pi}$"))
+    plt.gca().xaxis.set_major_locator(matplotlib.ticker.MultipleLocator(base=0.5))
+    plt.savefig(filename, dpi=dpi)
+    plt.close()
+
+
+def plot_polar_angle_histogram(flow_a, flow_b, filename, bins=20, dpi=300,
+                               title="Angle between channels"):
+    """Polar histogram of the angle between two channels' velocity vectors,
+    0deg at the top, clockwise (ref postprocess_PIV.py:228-237,
+    analyse_short_timeinterval_data.py:728-737)."""
+    from opticalflow_tpu.analysis.statistics import angles_between
+
+    theta, _ = angles_between(flow_a, flow_b)
+    theta = theta[np.isfinite(theta)]
+    plt.figure(figsize=(2.5, 2.5), constrained_layout=True)
+    ax = plt.subplot(projection="polar")
+    ax.set_theta_direction(-1)
+    ax.set_theta_offset(np.pi / 2.0)
+    ax.set_thetalim((0.0, np.pi))
+    ax.set_xticks(np.linspace(0, np.pi, 5))
+    ax.set_xticklabels(["0\N{DEGREE SIGN}", "45\N{DEGREE SIGN}",
+                        "90\N{DEGREE SIGN}", "135\N{DEGREE SIGN}",
+                        "180\N{DEGREE SIGN}"])
+    ax.hist(theta.ravel(), bins=bins)
+    ax.text(-0.05, 0.5, "Number of boxes", rotation="vertical",
+            va="center", ha="center", transform=ax.transAxes)
+    plt.title(title)
+    plt.savefig(filename, dpi=dpi)
+    plt.close()
+
+
+def plot_speed_correlation(flow_a, flow_b, filename, threshold=0.01, dpi=300,
+                           label_a="Channel A speed", label_b="Channel B speed"):
+    """2-D histogram of paired speeds where channel b exceeds ``threshold``
+    (ref postprocess_PIV.py:243-248, compare_rho_and_actin.py:760-767)."""
+    from opticalflow_tpu.analysis.statistics import speed_pairs
+
+    a, b = speed_pairs(flow_a, flow_b, threshold=threshold)
+    plt.figure(figsize=(3.5, 2.5), constrained_layout=True)
+    plt.hist2d(a, b, bins=(50, 50))
+    plt.xlabel(label_a)
+    plt.ylabel(label_b)
+    colorbar = plt.colorbar()
+    colorbar.ax.set_ylabel("number of boxes")
+    plt.savefig(filename, dpi=dpi)
+    plt.close()

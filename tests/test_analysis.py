@@ -149,6 +149,48 @@ def test_viz_overlay_movies(movie, tmp_path):
     assert (tmp_path / "joint.gif").stat().st_size > 0
 
 
+def test_comparison_plots(movie, tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from opticalflow_tpu.viz.plots import (
+        plot_angle_histogram,
+        plot_polar_angle_histogram,
+        plot_speed_correlation,
+    )
+
+    m, delta_x = movie
+    res = conduct_optical_flow(m, boxsize=9, delta_x=delta_x, dtype=np.float64)
+    plot_angle_histogram(res, str(tmp_path / "angles.pdf"), dpi=50)
+    plot_angle_histogram(res, str(tmp_path / "angles_w.pdf"), weighted=True, dpi=50)
+    plot_polar_angle_histogram(res, res, str(tmp_path / "polar.pdf"), dpi=50)
+    plot_speed_correlation(res, res, str(tmp_path / "corr.png"), threshold=0.0, dpi=50)
+    for name in ["angles.pdf", "angles_w.pdf", "polar.pdf", "corr.png"]:
+        assert (tmp_path / name).stat().st_size > 0
+
+
+def test_mudic_conversion_and_rename(tmp_path):
+    from opticalflow_tpu.io.interop import convert_mudic_result
+    from opticalflow_tpu.io.sequences import rename_images
+
+    rng = np.random.default_rng(11)
+    disp = rng.random((1, 2, 5, 6, 3))
+    coords = rng.random((1, 2, 5, 6, 3)) * 10.0
+    out = convert_mudic_result(disp, coords, delta_x=0.5, delta_t=2.0)
+    assert out["v_x"].shape == (3, 5, 6)
+    np.testing.assert_allclose(out["v_x"][1], disp[0, 0, :, :, 1] * 0.25)
+    np.testing.assert_allclose(out["x_start_coords"], coords[0, 0, :, :, 0] * 0.5)
+    assert np.all(out["speed"] >= 0)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a_control_blurred_1.tif").write_bytes(b"x")
+    (src / "a_control_blurred_2.tif").write_bytes(b"y")
+    renamed = rename_images(str(src), str(tmp_path / "dst"), "control_blurred_")
+    assert renamed == ["a_1.tif", "a_2.tif"]
+    assert (tmp_path / "dst" / "a_2.tif").read_bytes() == b"y"
+
+
 def test_viz_convergence_plots(tmp_path):
     import matplotlib
 
