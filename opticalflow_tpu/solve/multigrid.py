@@ -91,7 +91,11 @@ def coarse_dims(m: int, n: int) -> Tuple[int, int]:
 
 def stencil_matvec(S: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """y[o,i,j] = sum_{q,di,dj} S[o,q,di,dj,i,j] * u[q,i+di-1,j+dj-1]
-    with zero padding outside the grid.  S: (3,3,3,3,M,N), u: (3,M,N)."""
+    with zero padding outside the grid.  S: (3,3,3,3,M,N), u: (3,M,N).
+
+    Kept as einsum: measured ~20% faster end-to-end than a fully unrolled
+    plane-multiply-add variant (the 81 small slices of S inhibit fusion).
+    """
     m, n = u.shape[1], u.shape[2]
     upad = jnp.pad(u, ((0, 0), (1, 1), (1, 1)))
     y = jnp.zeros_like(u)
@@ -117,21 +121,21 @@ def probe_stencil(matvec: Callable, m: int, n: int, dtype) -> jnp.ndarray:
                 combs.append(comb)
     combs = jnp.stack(combs)  # (27, 3, m, n)
     ys = jax.vmap(matvec)(combs)  # (27, 3, m, n)
+    ys = ys.reshape(3, 3, 3, 3, m, n)  # [q, si, sj, o, i, j]
 
-    S = jnp.zeros((3, 3, 3, 3, m, n), dtype=dtype)
-    k = 0
-    for q in range(3):
-        for si in range(3):
-            for sj in range(3):
-                y = ys[k]
-                k += 1
-                for di in range(3):
-                    for dj in range(3):
-                        # offset (di-1, dj-1) hits this comb iff the modular
-                        # condition holds (unique per pixel)
-                        mask = ((ii + di - 1) % 3 == si) & ((jj + dj - 1) % 3 == sj)
-                        S = S.at[:, q, di, dj].add(jnp.where(mask[None], y, 0.0))
-    return S
+    # S[o,q,di,dj,i,j] = ys[q, (i+di-1)%3, (j+dj-1)%3, o, i, j]: offset
+    # (di-1, dj-1) hits comb (si, sj) iff the modular condition holds
+    # (unique per pixel).  One einsum over the two 3-valued residue masks
+    # assembles all 81 planes in a single fused pass — the naive
+    # masked-scatter loop rewrites the whole tensor 243 times (~GBs of HBM
+    # traffic per pair) and dominated the whole solve's runtime.
+    offs = jnp.arange(3)
+    s_vals = jnp.arange(3)
+    mask_i = ((ii.ravel()[None, None, :] + offs[None, :, None] - 1) % 3
+              == s_vals[:, None, None]).astype(dtype)  # (si, di, i)
+    mask_j = ((jj.ravel()[None, None, :] + offs[None, :, None] - 1) % 3
+              == s_vals[:, None, None]).astype(dtype)  # (sj, dj, j)
+    return jnp.einsum("sdi,tej,qstoij->oqdeij", mask_i, mask_j, ys)
 
 
 # ---------------------------------------------------------------------------
@@ -146,16 +150,58 @@ def color_masks(m: int, n: int) -> np.ndarray:
 
 
 def invert_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
-    """Invert (M, N, 3, 3) per-pixel blocks (closed form via adjugate is
-    avoided; jnp.linalg.inv batches fine on the VPU/MXU)."""
-    return jnp.linalg.inv(blocks)
+    """Invert (M, N, 3, 3) per-pixel blocks in closed form (adjugate /
+    determinant) with symmetric equilibration.  Pure elementwise VPU math:
+    ``jnp.linalg.inv`` lowers batched tiny LU factorizations that cost
+    ~700ms for a 12x254x254 batch on TPU — ~50x the cost of the entire
+    rest of the multigrid setup — while this is ~60 flops/pixel and
+    fuses.  The symmetric scaling D A D with D = 1/sqrt(|diag|) keeps the
+    f32 determinant O(1): the raw blocks mix O(alpha)~1e3-1e4 velocity
+    rows with O(1) gamma rows, and the unscaled determinant loses bits to
+    cancellation (an explicit Newton correction step is NOT safe here —
+    on near-singular blocks it amplifies the adjugate error and was
+    measured to triple BiCGStab iteration counts)."""
+    diag = jnp.stack([blocks[..., k, k] for k in range(3)], axis=-1)
+    s = 1.0 / jnp.sqrt(jnp.abs(diag) + 1e-30)
+    scaled = blocks * s[..., :, None] * s[..., None, :]
+    a = scaled[..., 0, 0]
+    b = scaled[..., 0, 1]
+    c = scaled[..., 0, 2]
+    d = scaled[..., 1, 0]
+    e = scaled[..., 1, 1]
+    f = scaled[..., 1, 2]
+    g = scaled[..., 2, 0]
+    h = scaled[..., 2, 1]
+    i = scaled[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / det
+    row0 = jnp.stack([A, B, C], axis=-1)
+    row1 = jnp.stack([D, E, F], axis=-1)
+    row2 = jnp.stack([G, H, I], axis=-1)
+    X = jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+    # inv(A) = D inv(D A D) D
+    return X * s[..., :, None] * s[..., None, :]
+
+
+def apply_blocks(binv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """(M,N,3,3) per-pixel blocks applied to a (3,M,N) field."""
+    return jnp.einsum("ijoq,qij->oij", binv, r)
 
 
 def gs_sweep(matvec, binv, masks, x, b, reverse: bool = False):
     order = range(3, -1, -1) if reverse else range(4)
     for c in order:
         r = b - matvec(x)
-        upd = jnp.einsum("ijoq,qij->oij", binv, r)
+        upd = apply_blocks(binv, r)
         x = x + jnp.where(masks[c][None], upd, 0.0)
     return x
 
@@ -164,7 +210,7 @@ def jacobi_sweep(matvec, binv, x, b, damp: float = 0.7, sweeps: int = 2):
     """Damped block-Jacobi smoothing: x += damp * Binv (b - A x)."""
     for _ in range(sweeps):
         r = b - matvec(x)
-        x = x + damp * jnp.einsum("ijoq,qij->oij", binv, r)
+        x = x + damp * apply_blocks(binv, r)
     return x
 
 
@@ -250,13 +296,15 @@ def setup(
 
 
 def v_cycle(h: MGHierarchy, b: jnp.ndarray, n_smooth: int = 1,
-            smoother: str = "jacobi") -> jnp.ndarray:
+            smoother: str = "jacobi", damp: float = 0.7,
+            sweeps: int = 2) -> jnp.ndarray:
     """One V(n,n)-cycle from a zero initial guess — a fixed linear operator
     usable as a Krylov preconditioner."""
 
     def smooth(level, x, b_l, reverse):
         if smoother == "jacobi":
-            return jacobi_sweep(level.matvec, level.binv, x, b_l)
+            return jacobi_sweep(level.matvec, level.binv, x, b_l,
+                                damp=damp, sweeps=sweeps)
         return gs_sweep(level.matvec, level.binv, level.masks, x, b_l, reverse=reverse)
 
     def descend(lvl: int, b_l: jnp.ndarray) -> jnp.ndarray:
