@@ -142,6 +142,10 @@ class SolverConfig:
     # ``dtype_tol_floor * eps(dtype) * ||b||`` so f32 runs report convergence
     # at working precision instead of chasing an unreachable f64 tolerance.
     dtype_tol_floor: float = 1000.0
+    # Matvec implementation: 'auto' picks the fused Pallas kernel on a TPU
+    # backend when the image width fits its tiling, else the XLA stencil;
+    # the sharded (GSPMD) path always runs 'xla'.
+    matvec: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,12 +76,19 @@ def solve_frame_pair(
     max_iterations: int = 1000,
     high_precision_reductions: bool = True,
     refinement_restarts: int = 1,
+    matvec_impl: str = "auto",
 ):
     """Solve the coupled EL system for one frame pair (pixel units).
 
     Returns ``(u, info)`` where ``u`` is the BC-fixed (3, Ni, Nj) solution
     and ``info`` is a dict of scalars (iterations, residual_norm,
     converged, functionals).
+
+    ``matvec_impl``: ``'xla'`` (pure-jnp fused stencil), ``'pallas'``
+    (VMEM-tiled fused kernel, ops.pallas_kernels), or ``'auto'`` (pallas
+    on a TPU backend when the image width fits the kernel's full-width
+    tiling; supports one level of vmap — the sharded GSPMD path must pass
+    ``'xla'``).
     """
     pair = elop.compute_frame_pair_data(
         previous_frame, current_frame, speed_alpha, remodelling_alpha, dy_mode
@@ -89,16 +96,33 @@ def solve_frame_pair(
     # Solve the *reduced* system: boundary constraint rows folded into the
     # interior stencil (exact — see ops.elop), so the Krylov iteration and
     # the multigrid hierarchy see a pure 9-point stencil operator.
-    matvec = functools.partial(elop.el_matvec_reduced, pair.coeffs)
+    xla_matvec = functools.partial(elop.el_matvec_reduced, pair.coeffs)
     b_red = pair.rhs[:, 1:-1, 1:-1]
     u0_red = u0[:, 1:-1, 1:-1]
+    m, n = b_red.shape[1], b_red.shape[2]
+
+    # 'auto' currently resolves to the XLA stencil: the fused Pallas kernel
+    # matches it bit-for-bit but measured ~25% slower end-to-end at 256^2
+    # (each application pays jnp.pad copies into the kernel's aligned
+    # full-width layout; burying that would need the whole Krylov state
+    # kept in padded layout).  It remains selectable for experimentation.
+    use_pallas = matvec_impl == "pallas"
+    if use_pallas:
+        from opticalflow_tpu.ops import pallas_kernels
+        matvec = pallas_kernels.make_pallas_matvec(pair.coeffs, m, n)
+    else:
+        matvec = xla_matvec
 
     if preconditioner == "block_jacobi":
         precond = functools.partial(elop.block_jacobi_inverse_apply_interior, pair.coeffs)
     elif preconditioner == "multigrid":
-        m, n = b_red.shape[1], b_red.shape[2]
+        # hierarchy probing vmaps the fine matvec over 27 comb vectors —
+        # always the XLA operator (the pallas custom_vmap rule supports a
+        # single vmap level, consumed by the frame-pair batch); the fused
+        # kernel still serves every Krylov + fine-smoother application.
         hierarchy = multigrid.setup(
-            matvec, elop.diag_blocks(pair.coeffs), m, n, b_red.dtype
+            xla_matvec, elop.diag_blocks(pair.coeffs), m, n, b_red.dtype,
+            fine_smoother_matvec=matvec,
         )
         precond = functools.partial(multigrid.v_cycle, hierarchy)
     elif preconditioner == "none":
@@ -156,7 +180,7 @@ def solve_frame_pair(
 @functools.partial(
     jax.jit,
     static_argnames=("dy_mode", "method", "preconditioner", "max_iterations",
-                     "high_precision_reductions", "warm_start"),
+                     "high_precision_reductions", "warm_start", "matvec_impl"),
 )
 def _solve_movie(
     movie,
@@ -170,6 +194,7 @@ def _solve_movie(
     max_iterations,
     high_precision_reductions,
     warm_start,
+    matvec_impl="auto",
 ):
     prev_frames = movie[:-1]
     cur_frames = movie[1:]
@@ -184,6 +209,7 @@ def _solve_movie(
         rtol=rtol,
         max_iterations=max_iterations,
         high_precision_reductions=high_precision_reductions,
+        matvec_impl=matvec_impl,
     )
 
     if warm_start == "sequential":
@@ -269,6 +295,7 @@ def variational_optical_flow(
             solver.max_iterations,
             solver.high_precision_reductions,
             warm_start,
+            solver.matvec,
         )
 
     all_u = np.asarray(all_u)

@@ -57,6 +57,9 @@ def _batched_pair_solve(
         rtol=rtol,
         max_iterations=max_iterations,
         high_precision_reductions=high_precision_reductions,
+        # GSPMD partitions this jit over the mesh; the Pallas kernel has no
+        # partitioning rule, so the sharded path always runs the XLA matvec
+        matvec_impl="xla",
     )
     return jax.vmap(lambda p, c: solver(p, c, u_init))(prev_frames, cur_frames)
 

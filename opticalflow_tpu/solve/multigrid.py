@@ -239,17 +239,23 @@ def setup(
     dtype,
     min_size: int = 8,
     max_levels: int = 16,
+    fine_smoother_matvec: Callable | None = None,
 ) -> MGHierarchy:
     """Build the Galerkin hierarchy below a black-box fine operator.
 
     ``fine_diag_blocks``: (M, N, 3, 3) diagonal blocks of the fine operator
     (available analytically from the EL coefficients — probing not needed
     at the finest, most expensive level).
+
+    ``fine_smoother_matvec``: optional faster implementation of the same
+    fine operator used only inside the cycle (e.g. the fused Pallas
+    kernel); ``fine_matvec`` is always the one probed for the Galerkin
+    coarse stencils (it must tolerate an extra vmap level).
     """
     levels: List[MGLevel] = []
     levels.append(
         MGLevel(
-            matvec=fine_matvec,
+            matvec=fine_smoother_matvec if fine_smoother_matvec is not None else fine_matvec,
             binv=invert_blocks(fine_diag_blocks),
             masks=jnp.asarray(color_masks(m, n)),
             shape=(m, n),

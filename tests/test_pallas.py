@@ -33,3 +33,30 @@ def test_pallas_matvec_matches_xla(shape):
     y_ref = elop.el_matvec_reduced(pair.coeffs, u)
     y_pl = pk.make_pallas_matvec(pair.coeffs, m, n)(u)
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=1e-6, atol=1e-2)
+
+
+def test_pallas_matvec_under_vmap():
+    """The custom_vmap rule must route a batched call onto the kernel's
+    native batch grid axis and match per-pair XLA results."""
+    import jax
+
+    m = n = 62
+    movie, _ = make_translating_blob_movie(
+        n_frames=4, dimension=m + 2, width=10.0, sigma=3.0, v_x=0.2, v_y=0.1,
+        dtype=jnp.float32,
+    )
+    movie = jnp.asarray(np.asarray(movie) * 100.0, jnp.float32)
+    rng = np.random.default_rng(7)
+    us = jnp.asarray(rng.standard_normal((3, 3, m, n)), jnp.float32)
+
+    def pallas_one(prev, cur, u):
+        pair = elop.compute_frame_pair_data(prev, cur, 800.0, 900.0, "compat")
+        return pk.el_matvec_reduced_pallas(pair.coeffs, u)
+
+    def xla_one(prev, cur, u):
+        pair = elop.compute_frame_pair_data(prev, cur, 800.0, 900.0, "compat")
+        return elop.el_matvec_reduced(pair.coeffs, u)
+
+    y_pl = jax.vmap(pallas_one)(movie[:-1], movie[1:], us)
+    y_ref = jax.vmap(xla_one)(movie[:-1], movie[1:], us)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=1e-6, atol=1e-2)
