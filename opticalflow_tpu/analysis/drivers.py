@@ -7,7 +7,8 @@ analyse_short_timeinterval_data.py:819-833, compare_rho_and_actin.py:955-999).
 Here each experiment is a parameterised function plus one argparse CLI
 (``python -m opticalflow_tpu.analysis.drivers <experiment> ...``).
 
-Experiments mirroring the reference scripts:
+Experiments mirroring the reference scripts (all registered as CLI
+subcommands in :func:`main`):
 * ``synthetic-boundary``   — simple_test_with_data_on_boundary (:26-66)
 * ``synthetic-big``        — test_big_fake_data (:68-112), size configurable
 * ``synthetic-box-error``  — check_error_of_method (compare_rho_and_actin.py:302-375)
@@ -16,6 +17,11 @@ Experiments mirroring the reference scripts:
 * ``sweep``                — regularisation sweep + heatmaps (:181-199, 274-303)
 * ``tune``                 — shgo regularisation optimization (:617-724)
 * ``downsampled``          — apply_to_downsampled_bischoff_data (:526-615)
+* ``boxsize-sweep``        — make_boxsize_analysis (compare_rho_and_actin.py:377-483)
+* ``blursize-sweep``       — make_OF_blur_analysis (compare_rho_and_actin.py:485-614)
+* ``dual-channel``         — joint Rho/actin comparison (compare_rho_and_actin.py:616-767)
+* ``piv-compare``          — PIV vs flow comparison (analyse_short_timeinterval_data.py:505-638)
+* ``ground-truth``         — hand-clicked displacement validation (:128-239, 640-745)
 """
 
 from __future__ import annotations
@@ -201,6 +207,128 @@ def run_tune(movie_path: str, output_dir: str, delta_x: float = 1.0,
     return optimal, value
 
 
+def run_synthetic_big(output_dir: str, dimension: int = 1000,
+                      speed_alpha: float = 1e4, remodelling_alpha: float = 1e4):
+    """Large fake-data variational run (ref
+    analyse_variational_optical_flow.py:68-112 ``test_big_fake_data``:
+    1000^2 blob movie, full solve, overlay movie + summary stats)."""
+    movie, delta_x = make_translating_blob_movie(
+        n_frames=3, dimension=dimension, width=20.0, sigma=5.0, v_x=0.2, v_y=0.0,
+        start=(10.0, 10.0),
+    )
+    movie = np.asarray(movie) * 255.0
+    result = variational_optical_flow(
+        movie, delta_x=delta_x, speed_alpha=speed_alpha,
+        remodelling_alpha=remodelling_alpha,
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    result.save(os.path.join(output_dir, "synthetic_big_result.npy"))
+    print("mean speed:", float(np.nanmean(result["speed"])),
+          "max speed:", float(np.nanmax(result["speed"])),
+          "converged:", result["converged"])
+    from opticalflow_tpu.viz.plots import make_joint_overlay_movie
+
+    make_joint_overlay_movie(
+        result, os.path.join(output_dir, "synthetic_big.mp4"),
+        autoscale=True, arrow_boxsize=max(4, dimension // 25), dpi=100,
+    )
+    return result
+
+
+def run_boxsize_sweep(movie_path: str, output_dir: str, delta_x: float = 0.0913,
+                      delta_t: float = 10.0, boxsizes: str = "5:150:2",
+                      smoothing_sigma: float = 1.3, frame_index: int = 3):
+    """Box-size sensitivity sweep (ref compare_rho_and_actin.py:377-483),
+    batched on device (analysis.hyperparams)."""
+    from opticalflow_tpu.analysis.hyperparams import vary_boxsize
+    from opticalflow_tpu.viz.plots import plot_parameter_sweep_summary
+
+    movie = _load_movie(movie_path)
+    start, stop, step = (int(x) for x in boxsizes.split(":"))
+    os.makedirs(output_dir, exist_ok=True)
+    sweep = vary_boxsize(
+        movie, boxsizes=np.arange(start, stop, step), frame_index=frame_index,
+        delta_x=delta_x, delta_t=delta_t, smoothing_sigma=smoothing_sigma,
+        filename=os.path.join(output_dir, "boxsize_sweep.npy"),
+    )
+    plot_parameter_sweep_summary(
+        sweep, os.path.join(output_dir, "boxsize"), "boxsizes")
+    return sweep
+
+
+def run_blursize_sweep(movie_path: str, output_dir: str, delta_x: float = 0.0913,
+                       delta_t: float = 10.0, blur_sizes: str = "0.5:15:0.1",
+                       boxsize: int = 21, frame_index: int = 3):
+    """Blur-size sensitivity sweep (ref compare_rho_and_actin.py:485-614),
+    batched on device (analysis.hyperparams)."""
+    from opticalflow_tpu.analysis.hyperparams import vary_blursize
+    from opticalflow_tpu.viz.plots import plot_parameter_sweep_summary
+
+    movie = _load_movie(movie_path)
+    start, stop, step = (float(x) for x in blur_sizes.split(":"))
+    os.makedirs(output_dir, exist_ok=True)
+    sweep = vary_blursize(
+        movie, blur_sizes=np.arange(start, stop, step), boxsize=boxsize,
+        frame_index=frame_index, delta_x=delta_x, delta_t=delta_t,
+        filename=os.path.join(output_dir, "blursize_sweep.npy"),
+    )
+    plot_parameter_sweep_summary(
+        sweep, os.path.join(output_dir, "blursize"), "blur_sizes")
+    return sweep
+
+
+def run_dual_channel(movie_path_a: str, movie_path_b: str, output_dir: str,
+                     delta_x: float = 0.0913, delta_t: float = 10.0,
+                     boxsize: int = 31, smoothing_sigma: float = 3.0,
+                     label_a: str = "Actin", label_b: str = "Rho",
+                     method: str = "box"):
+    """Dual-channel comparison workflow (compare_rho_and_actin.py:616-767)."""
+    from opticalflow_tpu.analysis.workflows import run_dual_channel_comparison
+
+    return run_dual_channel_comparison(
+        _load_movie(movie_path_a), _load_movie(movie_path_b), output_dir,
+        label_a=label_a, label_b=label_b, method=method, boxsize=boxsize,
+        smoothing_sigma=smoothing_sigma, delta_x=delta_x, delta_t=delta_t,
+    )
+
+
+def run_piv_compare(piv_mat_path: str, movie_path: str, output_dir: str,
+                    method: str = "farneback", intensity_threshold: float = 10.0):
+    """PIV-vs-flow comparison (analyse_short_timeinterval_data.py:505-638)."""
+    from opticalflow_tpu.analysis.workflows import run_piv_comparison
+
+    return run_piv_comparison(
+        piv_mat_path, _load_movie(movie_path), output_dir, method=method,
+        intensity_threshold=intensity_threshold,
+    )
+
+
+def run_ground_truth(movie_path: str, measurements_path: str, output_dir: str,
+                     method: str = "farneback", frame: int = 8):
+    """Hand-clicked displacement validation
+    (analyse_short_timeinterval_data.py:128-239, 640-745)."""
+    from opticalflow_tpu.analysis.workflows import run_ground_truth_validation
+
+    return run_ground_truth_validation(
+        _load_movie(movie_path), measurements_path, output_dir,
+        method=method, frame=frame,
+    )
+
+
+def run_downsampled(movie_path: str, output_dir: str, delta_x: float = 1.0,
+                    delta_t: float = 1.0, factor: float = 0.5,
+                    speed_alpha: float = 1000.0, remodelling_alpha: float = 1000.0,
+                    smoothing_sigma: Optional[float] = None,
+                    frames: Optional[str] = None):
+    """INTER_AREA-downsampled variational run
+    (ref analyse_variational_optical_flow.py:526-615)."""
+    return run_variational(
+        movie_path, output_dir, delta_x=delta_x, delta_t=delta_t,
+        speed_alpha=speed_alpha, remodelling_alpha=remodelling_alpha,
+        smoothing_sigma=smoothing_sigma, frames=frames, downsample=factor,
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="opticalflow_tpu.analysis.drivers")
     sub = parser.add_subparsers(dest="experiment", required=True)
@@ -209,10 +337,73 @@ def main(argv=None):
     p.add_argument("--output-dir", default="output")
     p.add_argument("--dimension", type=int, default=100)
 
+    p = sub.add_parser("synthetic-big")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--dimension", type=int, default=1000)
+    p.add_argument("--speed-alpha", type=float, default=1e4)
+    p.add_argument("--remodelling-alpha", type=float, default=1e4)
+
     p = sub.add_parser("synthetic-box-error")
     p.add_argument("--output-dir", default="output")
     p.add_argument("--include-noise", action="store_true")
     p.add_argument("--dimension", type=int, default=256)
+
+    p = sub.add_parser("boxsize-sweep")
+    p.add_argument("movie_path")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--delta-x", type=float, default=0.0913)
+    p.add_argument("--delta-t", type=float, default=10.0)
+    p.add_argument("--boxsizes", default="5:150:2", help="start:stop:step")
+    p.add_argument("--smoothing-sigma", type=float, default=1.3)
+    p.add_argument("--frame-index", type=int, default=3)
+
+    p = sub.add_parser("blursize-sweep")
+    p.add_argument("movie_path")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--delta-x", type=float, default=0.0913)
+    p.add_argument("--delta-t", type=float, default=10.0)
+    p.add_argument("--blur-sizes", default="0.5:15:0.1", help="start:stop:step")
+    p.add_argument("--boxsize", type=int, default=21)
+    p.add_argument("--frame-index", type=int, default=3)
+
+    p = sub.add_parser("dual-channel")
+    p.add_argument("movie_path_a")
+    p.add_argument("movie_path_b")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--delta-x", type=float, default=0.0913)
+    p.add_argument("--delta-t", type=float, default=10.0)
+    p.add_argument("--boxsize", type=int, default=31)
+    p.add_argument("--smoothing-sigma", type=float, default=3.0)
+    p.add_argument("--label-a", default="Actin")
+    p.add_argument("--label-b", default="Rho")
+    p.add_argument("--method", default="box", choices=("box", "variational", "farneback"))
+
+    p = sub.add_parser("piv-compare")
+    p.add_argument("piv_mat_path")
+    p.add_argument("movie_path")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--method", default="farneback",
+                   choices=("box", "variational", "farneback"))
+    p.add_argument("--intensity-threshold", type=float, default=10.0)
+
+    p = sub.add_parser("ground-truth")
+    p.add_argument("movie_path")
+    p.add_argument("measurements_path")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--method", default="farneback",
+                   choices=("box", "variational", "farneback"))
+    p.add_argument("--frame", type=int, default=8)
+
+    p = sub.add_parser("downsampled")
+    p.add_argument("movie_path")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--delta-x", type=float, default=1.0)
+    p.add_argument("--delta-t", type=float, default=1.0)
+    p.add_argument("--factor", type=float, default=0.5)
+    p.add_argument("--speed-alpha", type=float, default=1000.0)
+    p.add_argument("--remodelling-alpha", type=float, default=1000.0)
+    p.add_argument("--smoothing-sigma", type=float, default=None)
+    p.add_argument("--frames", default=None, help="start:stop frame slice")
 
     for name in ("variational", "box", "sweep", "tune"):
         p = sub.add_parser(name)
@@ -242,11 +433,18 @@ def main(argv=None):
     experiment = args.pop("experiment")
     fn = {
         "synthetic-boundary": run_synthetic_boundary,
+        "synthetic-big": run_synthetic_big,
         "synthetic-box-error": run_synthetic_box_error,
         "variational": run_variational,
         "box": run_box,
         "sweep": run_sweep,
         "tune": run_tune,
+        "boxsize-sweep": run_boxsize_sweep,
+        "blursize-sweep": run_blursize_sweep,
+        "dual-channel": run_dual_channel,
+        "piv-compare": run_piv_compare,
+        "ground-truth": run_ground_truth,
+        "downsampled": run_downsampled,
     }[experiment]
     kwargs = {k.replace("-", "_"): v for k, v in args.items()}
     return fn(**kwargs)

@@ -22,7 +22,10 @@ def load_displacement_measurements(path: str) -> Dict[str, np.ndarray]:
     reference reads them (ref :147-151)."""
     import pandas as pd
 
-    table = pd.read_excel(path)
+    if path.lower().endswith(".csv"):
+        table = pd.read_csv(path)
+    else:
+        table = pd.read_excel(path)
     return {
         "y_start": table["x-position start"].values,
         "y_end": table["x-position end"].values,

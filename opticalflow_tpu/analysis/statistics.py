@@ -53,7 +53,9 @@ def speed_pairs(flow_a, flow_b, threshold: float = 0.01) -> Tuple[np.ndarray, np
     the inputs of the reference's speed-correlation hist2d (ref :760-767)."""
     a = np.asarray(flow_a["speed"])
     b = np.asarray(flow_b["speed"])
-    mask = b > threshold
+    # finite-only: PIV results upsampled with griddata are NaN outside the
+    # convex hull of the vector grid (ref optical_flow.py:2196-2204)
+    mask = (b > threshold) & np.isfinite(a) & np.isfinite(b)
     return a[mask].ravel(), b[mask].ravel()
 
 

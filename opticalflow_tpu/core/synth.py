@@ -42,6 +42,43 @@ def make_fake_data_frame(
     return frame, delta_x
 
 
+def make_translating_texture_movie(
+    n_frames: int = 2,
+    dimension: int = 1024,
+    v_x: float = 0.15,
+    v_y: float = 0.1,
+    mean_intensity: float = 100.0,
+    contrast: float = 0.8,
+    dtype=jnp.float64,
+) -> Tuple[np.ndarray, float]:
+    """A full-field smooth positive texture translating at a known uniform
+    velocity (in pixels per frame interval; delta_x = delta_t = 1).
+
+    This is the workload-scale analogue of the reference's 1024^2 embryo
+    movies (ref analysis/analyse_variational_optical_flow.py:201-272):
+    unlike the tiny-blob synthetic, the intensity covers the whole frame,
+    so the EL system's data term constrains the velocity everywhere —
+    the conditioning regime of the real microscopy data.  The pattern is
+    an analytic multi-frequency sinusoid mixture evaluated at
+    sub-pixel-shifted coordinates, so the translation is exact.
+    """
+    ii = jnp.arange(dimension, dtype=dtype)[:, None]
+    jj = jnp.arange(dimension, dtype=dtype)[None, :]
+
+    def pattern(x, y):
+        tau = 2.0 * jnp.pi
+        p = (
+            0.45 * jnp.sin(tau * x / 73.0) * jnp.cos(tau * y / 91.0)
+            + 0.30 * jnp.cos(tau * (x + 0.7 * y) / 41.0)
+            + 0.15 * jnp.sin(tau * (0.4 * x - y) / 157.0)
+            + 0.10 * jnp.cos(tau * x / 23.0) * jnp.cos(tau * y / 19.0)
+        )
+        return mean_intensity * (1.0 + contrast * 0.5 * p)
+
+    frames = [pattern(ii - v_x * t, jj - v_y * t) for t in range(n_frames)]
+    return np.asarray(jnp.stack(frames, axis=0)), 1.0
+
+
 def make_translating_blob_movie(
     n_frames: int = 2,
     dimension: int = 256,

@@ -63,6 +63,33 @@ def _functionals(u, pair: elop.FramePairData, speed_alpha, remodelling_alpha, dy
     return l1, speed_f, rem_f
 
 
+def _resolve_matvec_impl(matvec_impl: str, n: int, dtype) -> str:
+    """Resolve ``'auto'`` to a concrete matvec implementation.
+
+    ``'auto'`` picks the fused Pallas kernel on a real TPU backend for f32
+    images whose width fits the kernel's full-width tiling (measured
+    faster than the XLA stencil end-to-end at both 256^2 and 1024^2 —
+    see bench.py); anything else (CPU tests, x64 oracle runs, very wide
+    images) runs the XLA stencil.  The sharded GSPMD path passes ``'xla'``
+    explicitly (the kernel has no SPMD partitioning rule).
+    """
+    if matvec_impl != "auto":
+        return matvec_impl
+    from opticalflow_tpu.ops import pallas_kernels
+
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "cpu"
+    if (
+        platform in ("tpu", "axon")
+        and jnp.dtype(dtype) == jnp.float32
+        and n + 2 <= pallas_kernels.max_supported_width(dtype)
+    ):
+        return "pallas"
+    return "xla"
+
+
 def solve_frame_pair(
     previous_frame: jnp.ndarray,
     current_frame: jnp.ndarray,
@@ -85,11 +112,31 @@ def solve_frame_pair(
     converged, functionals).
 
     ``matvec_impl``: ``'xla'`` (pure-jnp fused stencil), ``'pallas'``
-    (VMEM-tiled fused kernel, ops.pallas_kernels), or ``'auto'`` (pallas
-    on a TPU backend when the image width fits the kernel's full-width
-    tiling; supports one level of vmap — the sharded GSPMD path must pass
-    ``'xla'``).
+    (fused VMEM-tiled kernel with on-the-fly coefficients and the whole
+    Krylov state kept in the kernel's aligned layouts — see
+    ops.pallas_kernels), or ``'auto'`` (pallas on a TPU backend for f32
+    images whose width fits the kernel tiling; supports one level of
+    vmap — the sharded GSPMD path must pass ``'xla'``).
+
+    Intensity normalisation: the EL system built from ``(I/s,
+    speed_alpha/s^2, remodelling_alpha)`` has the exact solution
+    ``(u_x, u_y, gamma/s)`` of the original system (every velocity-row
+    term is quadratic in I and every gamma-row term linear), and all
+    three functionals scale by ``s^2``.  Solving the normalised system
+    keeps coefficients O(1): with raw microscopy intensities (~1e2) and
+    practice alphas (~1e3) the unnormalised f32 Krylov recurrences mix
+    magnitudes of 1e0..1e8 and stall (512^2) or overflow to NaN (1024^2)
+    while the f64 solve converges fine — measured, see bench.py notes.
     """
+    dtype = jnp.asarray(previous_frame).dtype
+    intensity_scale = jnp.maximum(
+        jnp.max(jnp.abs(previous_frame)), jnp.asarray(1e-30, dtype)
+    ).astype(dtype)
+    previous_frame = previous_frame / intensity_scale
+    current_frame = current_frame / intensity_scale
+    speed_alpha = jnp.asarray(speed_alpha, dtype) / intensity_scale**2
+    u0 = jnp.concatenate([u0[:2], u0[2:] / intensity_scale], axis=0)
+
     pair = elop.compute_frame_pair_data(
         previous_frame, current_frame, speed_alpha, remodelling_alpha, dy_mode
     )
@@ -101,40 +148,62 @@ def solve_frame_pair(
     u0_red = u0[:, 1:-1, 1:-1]
     m, n = b_red.shape[1], b_red.shape[2]
 
-    # 'auto' currently resolves to the XLA stencil: the fused Pallas kernel
-    # matches it bit-for-bit but measured ~25% slower end-to-end at 256^2
-    # (each application pays jnp.pad copies into the kernel's aligned
-    # full-width layout; burying that would need the whole Krylov state
-    # kept in padded layout).  It remains selectable for experimentation.
-    use_pallas = matvec_impl == "pallas"
+    use_pallas = _resolve_matvec_impl(matvec_impl, n, b_red.dtype) == "pallas"
+
     if use_pallas:
+        # Padded-state fused-kernel path: BiCGStab's solution-space vectors
+        # live in the kernel's mirror-extended aligned layout (P) and its
+        # residual-space vectors in the zero-padded interior layout (R),
+        # so no per-application pad/extension copies remain — the
+        # preconditioner output is the only R -> P bridge.
         from opticalflow_tpu.ops import pallas_kernels
-        matvec = pallas_kernels.make_pallas_matvec(pair.coeffs, m, n)
+
+        pops = pallas_kernels.make_padded_ops(
+            previous_frame, speed_alpha, remodelling_alpha, dy_mode
+        )
+        matvec = pops.matvec
+        b_K = pops.pad_rhs(b_red)
+        x0_K = pops.extend_pad(u0_red)
     else:
+        pops = None
         matvec = xla_matvec
+        b_K = b_red
+        x0_K = u0_red
 
     if preconditioner == "block_jacobi":
-        precond = functools.partial(elop.block_jacobi_inverse_apply_interior, pair.coeffs)
+        bj = functools.partial(elop.block_jacobi_inverse_apply_interior, pair.coeffs)
+        if use_pallas:
+            precond = lambda r: pops.extend_pad(bj(pops.slice_residual(r)))
+        else:
+            precond = bj
     elif preconditioner == "multigrid":
         # hierarchy probing vmaps the fine matvec over 27 comb vectors —
         # always the XLA operator (the pallas custom_vmap rule supports a
-        # single vmap level, consumed by the frame-pair batch); the fused
-        # kernel still serves every Krylov + fine-smoother application.
+        # single vmap level, consumed by the frame-pair batch); in pallas
+        # mode the fine level of the cycle runs on the fused kernel via
+        # v_cycle_padded, coarse levels stay on the (small) XLA path.
         hierarchy = multigrid.setup(
             xla_matvec, elop.diag_blocks(pair.coeffs), m, n, b_red.dtype,
-            fine_smoother_matvec=matvec,
         )
-        precond = functools.partial(multigrid.v_cycle, hierarchy)
+        if use_pallas:
+            precond = functools.partial(multigrid.v_cycle_padded, hierarchy, pops)
+        else:
+            precond = functools.partial(multigrid.v_cycle, hierarchy)
     elif preconditioner == "none":
-        precond = None
+        if use_pallas:
+            # identity in solution space (right preconditioning still needs
+            # the R -> P bridge)
+            precond = lambda r: pops.extend_pad(pops.slice_residual(r))
+        else:
+            precond = None
     else:
         raise ValueError(f"unknown preconditioner {preconditioner!r}")
 
     solver_fn = {"bicgstab": krylov.bicgstab, "cg": krylov.cg}[method]
     res = solver_fn(
         matvec,
-        b_red,
-        x0=u0_red,
+        b_K,
+        x0=x0_K,
         precond=precond,
         rtol=rtol,
         max_iterations=max_iterations,
@@ -147,7 +216,7 @@ def solve_frame_pair(
     for _ in range(refinement_restarts):
         res2 = solver_fn(
             matvec,
-            b_red,
+            b_K,
             x0=res.x,
             precond=precond,
             rtol=rtol,
@@ -161,18 +230,24 @@ def solve_frame_pair(
             converged=res2.converged,
         )
 
-    # Embed + mirror-BC fix-up, mainly for the corner rows (ref :1163-1166).
-    u = elop.embed_interior(res.x)
+    x_int = pops.slice_solution(res.x) if use_pallas else res.x
 
+    # Embed + mirror-BC fix-up, mainly for the corner rows (ref :1163-1166).
+    u = elop.embed_interior(x_int)
+
+    # Functionals of the normalised system scale uniformly by s^2.
     l1, speed_f, rem_f = _functionals(u, pair, pair.coeffs.speed_alpha,
                                       pair.coeffs.remodelling_alpha, dy_mode)
+    s2 = intensity_scale**2
+    # Undo the similarity scaling: gamma was solved in units of I/s.
+    u = jnp.concatenate([u[:2], u[2:] * intensity_scale], axis=0)
     info = {
         "iterations": res.iterations,
         "residual_norm": res.residual_norm,
         "converged": res.converged,
-        "L1_functional": l1,
-        "speed_functional": speed_f,
-        "remodelling_functional": rem_f,
+        "L1_functional": l1 * s2,
+        "speed_functional": speed_f * s2,
+        "remodelling_functional": rem_f * s2,
     }
     return u, info
 

@@ -22,6 +22,39 @@ def effective_window(box_size: int) -> int:
     return 2 * half + 1
 
 
+def box_sum_dynamic(x: jnp.ndarray, half, max_half: int) -> jnp.ndarray:
+    """Boundary-clipped box sum with a *traced* half-width.
+
+    Same result as ``box_sum(x, 2*half+1)`` but ``half`` may be a traced
+    integer bounded by the static ``max_half``, so a whole box-size sweep
+    (ref analysis/compare_rho_and_actin.py:377-483 runs one full flow
+    solve per box size, serially) can be one ``vmap`` over half-widths.
+
+    Implemented as a separable correlation with a static-length 0/1
+    kernel whose active taps depend on the traced ``half`` — each output
+    is a short windowed sum (no prefix-sum cancellation, important for
+    f32: a cumsum formulation loses ~2% accuracy in low-signal regions).
+
+    Works on the last two axes of ``x`` (supports leading batch axes).
+    """
+    half = jnp.asarray(half, dtype=jnp.int32)
+    offsets = jnp.arange(-max_half, max_half + 1, dtype=jnp.int32)
+    taps = (jnp.abs(offsets) <= half).astype(x.dtype)
+
+    lead = x.shape[:-2]
+    lhs = x.reshape((-1, 1) + x.shape[-2:])
+
+    def correlate(m, axis):
+        rhs = taps.reshape((1, 1) + ((-1, 1) if axis == 0 else (1, -1)))
+        pad = [(max_half, max_half), (0, 0)] if axis == 0 else [(0, 0), (max_half, max_half)]
+        return lax.conv_general_dilated(
+            m, rhs, (1, 1), pad, dimension_numbers=("NCHW", "OIHW", "NCHW")
+        )
+
+    out = correlate(correlate(lhs, 0), 1)
+    return out.reshape(lead + x.shape[-2:])
+
+
 def box_sum(x: jnp.ndarray, box_size: int) -> jnp.ndarray:
     """Sum of x over the clipped box window centred at every pixel.
 

@@ -1,240 +1,361 @@
 """Pallas TPU kernels for the hot stencil operations.
 
-The EL matvec is the innermost loop of the whole engine (2 applications
-per BiCGStab iteration + 5 fine-level applications per multigrid V-cycle).
-This kernel fuses the whole 9-point / 3-field stencil into one VMEM-tiled
-pass: per tile it DMAs the halo'd field rows and the 13 coefficient
-planes once, does all arithmetic on the VPU, and writes the 3 output
-planes — where the XLA lowering re-materialises shifted copies of the
-field between fusions.
+The EL matvec is the innermost loop of the whole engine: 2 Krylov
+applications per BiCGStab iteration plus ~4 fine-level applications per
+multigrid V-cycle, so ~10 applications per iteration.  This kernel
+replaces the reference's entire PETSc hot loop
+(/root/reference/source/optical_flow.py:1080-1157) with one VMEM-tiled
+fused pass per application.
 
-Tiling: grid ``(batch, row-blocks)``, full image width per tile (lane
-halos then stay inside the tile, so only the *row* halo needs a manual
-DMA).  TPU DMA slices must be aligned to the (8, 128) f32 tile, so the
-extended field is stored with a 7-row top offset and each program copies
-an aligned (BM + 16)-row superset that contains its halo.  Full-width
-tiles bound the supported width to ~1100 pixels f32 (VMEM); wider images
-fall back to the XLA matvec (see ``flow.variational``).
+v2 design (round 2) — two changes that make it beat the XLA lowering:
 
-The batch dimension is native to the kernel (a leading grid axis), and
-``el_matvec_fused`` carries a ``jax.custom_batching.custom_vmap`` rule
-mapping ``vmap`` onto it — so the solver can use the fused kernel
-unchanged inside the vmapped cold-start frame-pair batch.  One vmap level
-only; the multigrid comb probing keeps the XLA matvec.
+* **Coefficients on the fly.**  All 13 EL coefficient planes are local
+  functions of the previous frame I and two scalars (ops.elop): instead
+  of streaming 13 precomputed planes from HBM per application, the kernel
+  DMAs the single I plane (with halo) and rebuilds the coefficients on
+  the VPU.  HBM traffic per application drops from ~19 planes to ~7
+  (I + 3 in-fields + 3 out-fields) — the kernel is memory-bound, so this
+  is a direct speedup.
+
+* **Padded-state layouts.**  The Krylov iteration keeps its vectors in
+  the kernel's aligned layouts end-to-end (see ``PaddedOps``), so the
+  per-application ``jnp.pad`` copies of the round-1 kernel vanish:
+  - *solution space* ``P``: the mirror-extended field stored at row
+    offset 8 / col offset 0 in an ``(3, mp+16, np_u)`` array
+    (``mp = ceil(m/BM)*BM``, ``np_u = ceil((n+2)/128)*128``).  Extension
+    is linear, so BiCGStab's x-updates stay in P without re-extension.
+  - *residual space* ``R``: plain interior fields zero-padded to
+    ``(3, mp, np_r)`` (``np_r = ceil(n/128)*128``).  The kernel masks its
+    outputs so padding stays exactly zero and dot products need no mask.
+  Only the preconditioner bridges R -> P (one fused extend+pad per
+  application instead of two pads per matvec).
+
+Tiling: grid ``(batch, row-blocks)``, full image width per tile.  The
+row halo comes from an aligned DMA superset (tile rows ``[i*BM,
+i*BM+BM+16)`` always cover the +-1 ext rows because of the offset-8
+storage); the column halo from 128 slack lanes in the VMEM scratch only
+(not in HBM — the DMA writes the true width and the slack lanes hold
+don't-care values that are masked out of the result).
+
+The batch dimension is a native leading grid axis and
+``_padded_matvec`` carries a ``jax.custom_batching.custom_vmap`` rule,
+so the solver can use the fused kernel unchanged inside the vmapped
+cold-start frame-pair batch (one vmap level; the multigrid comb probing
+keeps the XLA matvec).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from opticalflow_tpu.ops import elop
-
 BM = 128  # rows per tile
-_ROW_OFFSET = 7  # zero rows above u_ext so aligned DMAs contain the halo
+_ROW_OFFSET = 8  # P layout: ext/full-frame row e lives at padded row e+8
 _LANE = 128
 _SUB = 8
+
+# interpret mode lets the kernel run (emulated) on CPU for testing
+INTERPRET = False
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _el_matvec_kernel(scalars_ref, u_hbm, coeff_ref, out_ref, u_tile, sem):
+def _el_matvec_kernel(scalars_ref, meta_ref, i_hbm, u_hbm, out_ref, i_tile, u_tile, sems):
+    """One (batch, row-block) tile of the fused EL matvec.
+
+    ``i_hbm``: (B, mp+16, np_u) previous-frame plane, full frame at row
+    offset 8 / col offset 0.  ``u_hbm``: (B, 3, mp+16, np_u) mirror-
+    extended field in the same offsets (P layout).  Output block:
+    (1, 3, BM, np_r) interior result rows ``[i*BM, i*BM+BM)`` (R layout).
+
+    Scratch tiles carry 128 slack lanes so the +-1 column shifts are
+    plain static slices; the DMA only writes the true ``np_u`` columns.
+    """
     b = pl.program_id(0)
     i = pl.program_id(1)
+    np_u = i_hbm.shape[2]
 
-    copy = pltpu.make_async_copy(
-        u_hbm.at[b, :, pl.ds(i * BM, BM + 2 * _SUB), :],
-        u_tile,
-        sem,
+    cp_i = pltpu.make_async_copy(
+        i_hbm.at[b, pl.ds(i * BM, BM + 2 * _SUB), :],
+        i_tile.at[:, :np_u],
+        sems.at[0],
     )
-    copy.start()
+    cp_u = pltpu.make_async_copy(
+        u_hbm.at[b, :, pl.ds(i * BM, BM + 2 * _SUB), :],
+        u_tile.at[:, :, :np_u],
+        sems.at[1],
+    )
+    cp_i.start()
+    cp_u.start()
 
     a_s = scalars_ref[b, 0]
     a_r = scalars_ref[b, 1]
+    m_valid = meta_ref[b, 0]
+    n_valid = meta_ref[b, 1]
+    compat = meta_ref[b, 2]
 
-    c = coeff_ref[0]  # (13, BM, NP)
-    diag_x, diag_y, cross = c[0], c[1], c[2]
-    adv_xm, adv_xp, adv_ym, adv_yp = c[3], c[4], c[5], c[6]
-    gx, gy, quart, half_i = c[7], c[8], c[9], c[10]
-    didx, didy = c[11], c[12]
+    np_r = out_ref.shape[3]
 
-    np_ = out_ref.shape[3]
+    cp_i.wait()
+    cp_u.wait()
 
-    copy.wait()
-    u = u_tile[:]  # (3, BM + 16, NP)
+    u = u_tile[:]
+    it = i_tile[:]
     ux, uy, g = u[0], u[1], u[2]
 
-    def sh(f, di, dj):
-        # output row k <- u_ext row i*BM + k + 1 + di  == tile row k + 8 + di
-        # output col l <- u_ext col l + 1 + dj         == tile col l + 1 + dj
-        r0 = 8 + di
-        c0 = 1 + dj
-        return f[r0 : r0 + BM, c0 : c0 + np_]
+    def sh(f, a, bb):
+        # interior output row k (tile-local) reads full-frame/ext row
+        # (global k) + a at padded row k+a+8 -> tile row k + a + 8;
+        # column l + bb at tile col l + bb.  a, bb in {0, 1, 2}.
+        return f[8 + a : 8 + a + BM, bb : bb + np_r]
 
+    # --- coefficients on the fly (ops.elop.compute_frame_pair_data) ---
+    I = sh(it, 1, 1)
+    dIdx = 0.5 * (sh(it, 2, 1) - sh(it, 0, 1))
+    dIdy_fixed = 0.5 * (sh(it, 1, 2) - sh(it, 1, 0))
+    dIdy = jnp.where(compat != 0, dIdx, dIdy_fixed)
+    dIdxx = sh(it, 2, 1) + sh(it, 0, 1) - 2.0 * I
+    dIdyy = sh(it, 1, 2) + sh(it, 1, 0) - 2.0 * I
+    dIdxy = 0.25 * (sh(it, 2, 2) - sh(it, 2, 0) - sh(it, 0, 2) + sh(it, 0, 0))
+
+    diag_x = I * (dIdxx - 2.0 * I) - 4.0 * a_s
+    diag_y = I * (dIdyy - 2.0 * I) - 4.0 * a_s
+    cross = I * dIdxy
+    adv_xm = I * (-dIdx + I) + a_s
+    adv_xp = I * (dIdx + I) + a_s
+    adv_ym = I * (-dIdy + I) + a_s
+    adv_yp = I * (dIdy + I) + a_s
+    gx = I * dIdx * 0.5
+    gy = I * dIdy * 0.5
+    quart = I * I * 0.25
+    half_i = I * 0.5
+
+    # --- fused 9-point / 3-field stencil (ops.elop.interior_apply) ---
     y_ux = (
-        diag_x * sh(ux, 0, 0)
-        + cross * sh(uy, 0, 0)
-        + adv_xm * sh(ux, -1, 0)
-        + adv_xp * sh(ux, 1, 0)
-        + a_s * (sh(ux, 0, -1) + sh(ux, 0, 1))
-        + gx * (sh(uy, 0, 1) - sh(uy, 0, -1))
-        + gy * (sh(uy, 1, 0) - sh(uy, -1, 0))
-        + quart * (sh(uy, -1, -1) + sh(uy, 1, 1) - sh(uy, -1, 1) - sh(uy, 1, -1))
-        + half_i * (sh(g, -1, 0) - sh(g, 1, 0))
+        diag_x * sh(ux, 1, 1)
+        + cross * sh(uy, 1, 1)
+        + adv_xm * sh(ux, 0, 1)
+        + adv_xp * sh(ux, 2, 1)
+        + a_s * (sh(ux, 1, 0) + sh(ux, 1, 2))
+        + gx * (sh(uy, 1, 2) - sh(uy, 1, 0))
+        + gy * (sh(uy, 2, 1) - sh(uy, 0, 1))
+        + quart * (sh(uy, 0, 0) + sh(uy, 2, 2) - sh(uy, 0, 2) - sh(uy, 2, 0))
+        + half_i * (sh(g, 0, 1) - sh(g, 2, 1))
     )
     y_uy = (
-        diag_y * sh(uy, 0, 0)
-        + cross * sh(ux, 0, 0)
-        + adv_ym * sh(uy, 0, -1)
-        + adv_yp * sh(uy, 0, 1)
-        + a_s * (sh(uy, -1, 0) + sh(uy, 1, 0))
-        + gy * (sh(ux, 1, 0) - sh(ux, -1, 0))
-        + gx * (sh(ux, 0, 1) - sh(ux, 0, -1))
-        + quart * (sh(ux, -1, -1) + sh(ux, 1, 1) - sh(ux, -1, 1) - sh(ux, 1, -1))
-        + half_i * (sh(g, 0, -1) - sh(g, 0, 1))
+        diag_y * sh(uy, 1, 1)
+        + cross * sh(ux, 1, 1)
+        + adv_ym * sh(uy, 1, 0)
+        + adv_yp * sh(uy, 1, 2)
+        + a_s * (sh(uy, 0, 1) + sh(uy, 2, 1))
+        + gy * (sh(ux, 2, 1) - sh(ux, 0, 1))
+        + gx * (sh(ux, 1, 2) - sh(ux, 1, 0))
+        + quart * (sh(ux, 0, 0) + sh(ux, 2, 2) - sh(ux, 0, 2) - sh(ux, 2, 0))
+        + half_i * (sh(g, 1, 0) - sh(g, 1, 2))
     )
     y_g = (
-        (-1.0 - 4.0 * a_r) * sh(g, 0, 0)
-        + didx * sh(ux, 0, 0)
-        + didy * sh(uy, 0, 0)
-        + a_r * (sh(g, -1, 0) + sh(g, 1, 0) + sh(g, 0, -1) + sh(g, 0, 1))
-        + half_i * (sh(ux, 1, 0) - sh(ux, -1, 0))
-        + half_i * (sh(uy, 0, 1) - sh(uy, 0, -1))
+        (-1.0 - 4.0 * a_r) * sh(g, 1, 1)
+        + dIdx * sh(ux, 1, 1)
+        + dIdy * sh(uy, 1, 1)
+        + a_r * (sh(g, 0, 1) + sh(g, 2, 1) + sh(g, 1, 0) + sh(g, 1, 2))
+        + half_i * (sh(ux, 2, 1) - sh(ux, 0, 1))
+        + half_i * (sh(uy, 1, 2) - sh(uy, 1, 0))
     )
 
-    out_ref[0, 0] = y_ux
-    out_ref[0, 1] = y_uy
-    out_ref[0, 2] = y_g
+    # Zero the padding so residual-space (R) vectors keep exact zeros
+    # outside the m x n interior and dot products need no masking.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BM, np_r), 0) + i * BM
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (BM, np_r), 1)
+    valid = (row_ids < m_valid) & (col_ids < n_valid)
+    zero = jnp.zeros((), out_ref.dtype)
+    out_ref[0, 0] = jnp.where(valid, y_ux, zero)
+    out_ref[0, 1] = jnp.where(valid, y_uy, zero)
+    out_ref[0, 2] = jnp.where(valid, y_g, zero)
 
 
-def stack_coefficients(coeffs: elop.ELCoefficients) -> jnp.ndarray:
-    """(13, M, N) plane stack in the kernel's expected order."""
-    return jnp.stack(
-        [
-            coeffs.diag_x,
-            coeffs.diag_y,
-            coeffs.cross,
-            coeffs.adv_xm,
-            coeffs.adv_xp,
-            coeffs.adv_ym,
-            coeffs.adv_yp,
-            coeffs.gx,
-            coeffs.gy,
-            coeffs.quart,
-            coeffs.half_I,
-            coeffs.dIdx,
-            coeffs.dIdy,
-        ]
-    )
-
-
-# interpret mode lets the kernel run (emulated) on CPU for testing
-INTERPRET = False
-
-
-def _run_batched(coeff_padded, scalars, u_padded, interpret):
+def _run_batched(i_padded, scalars, meta, u_padded, interpret):
     """Grid (B, row-blocks) kernel invocation on pre-padded operands."""
-    batch, _, mp, np_ = coeff_padded.shape
+    batch, rows, np_u = i_padded.shape
+    mp = rows - 2 * _SUB
     grid_m = mp // BM
-    lane_width = u_padded.shape[3]
+    np_r = _infer_np_r(np_u)
     dtype = u_padded.dtype
 
     return pl.pallas_call(
         _el_matvec_kernel,
         grid=(batch, grid_m),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 2), indexed by program_id
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 13, BM, np_), lambda b, i: (b, 0, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (B, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (B, 3) int32
+            pl.BlockSpec(memory_space=pl.ANY),  # I plane, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # field, manual DMA
         ],
-        out_specs=pl.BlockSpec((1, 3, BM, np_), lambda b, i: (b, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 3, mp, np_), dtype),
+        out_specs=pl.BlockSpec(
+            (1, 3, BM, np_r), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, 3, mp, np_r), dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, BM + 2 * _SUB, lane_width), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((BM + 2 * _SUB, np_u + _LANE), dtype),
+            pltpu.VMEM((3, BM + 2 * _SUB, np_u + _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(scalars, u_padded, coeff_padded)
+    )(scalars, meta, i_padded, u_padded)
+
+
+def _infer_np_r(np_u: int) -> int:
+    """R-layout lane width from the P-layout lane width.
+
+    P holds n+2 columns, R holds n; both round up to 128, so they agree
+    unless n+2 just crossed a lane boundary — but since n is only known
+    dynamically via meta, the kernel always emits np_u lanes' worth of
+    output width rounded from the same bound.  Using np_u keeps the two
+    layouts' lane counts equal (correct: np_r as used by PaddedOps is
+    round_up(n,128) <= np_u, and the extra masked lanes are zero)."""
+    return np_u
 
 
 @jax.custom_batching.custom_vmap
-def _padded_matvec(coeff_padded, scalars, u_padded):
-    """Unbatched fused matvec on pre-padded operands -> (3, mp, np_)."""
-    return _run_batched(coeff_padded[None], scalars[None], u_padded[None],
-                        INTERPRET)[0]
+def _padded_matvec(i_padded, scalars, meta, u_padded):
+    """Unbatched fused matvec on pre-padded operands -> (3, mp, np_r)."""
+    return _run_batched(
+        i_padded[None], scalars[None], meta[None], u_padded[None], INTERPRET
+    )[0]
 
 
 @_padded_matvec.def_vmap
-def _padded_matvec_vmap(axis_size, in_batched, coeff_padded, scalars, u_padded):
-    cb, sb, ub = in_batched
-    if not cb:
-        coeff_padded = jnp.broadcast_to(
-            coeff_padded[None], (axis_size,) + coeff_padded.shape)
+def _padded_matvec_vmap(axis_size, in_batched, i_padded, scalars, meta, u_padded):
+    ib, sb, mb, ub = in_batched
+    if not ib:
+        i_padded = jnp.broadcast_to(i_padded[None], (axis_size,) + i_padded.shape)
     if not sb:
         scalars = jnp.broadcast_to(scalars[None], (axis_size,) + scalars.shape)
+    if not mb:
+        meta = jnp.broadcast_to(meta[None], (axis_size,) + meta.shape)
     if not ub:
         u_padded = jnp.broadcast_to(u_padded[None], (axis_size,) + u_padded.shape)
-    return _run_batched(coeff_padded, scalars, u_padded, INTERPRET), True
+    return _run_batched(i_padded, scalars, meta, u_padded, INTERPRET), True
 
 
-def _pad_u_ext(u_ext, m: int, n: int):
-    mp = _round_up(m, BM)
-    np_ = _round_up(n + 2, _LANE)
-    total_rows = mp + 2 * _SUB
-    # one extra lane group so column-shifted slices stay in bounds
-    lane_width = np_ + _LANE
-    return jnp.pad(
-        u_ext,
-        (
-            (0, 0),
-            (_ROW_OFFSET, total_rows - _ROW_OFFSET - (m + 2)),
-            (0, lane_width - (n + 2)),
-        ),
-    )
+class PaddedOps(NamedTuple):
+    """Fused-kernel operator set on aligned layouts for one frame pair.
+
+    ``matvec``: P -> R application of the reduced EL operator (boundary
+    rows folded in, identical semantics to ops.elop.el_matvec_reduced).
+    ``extend_pad``: interior (3, m, n) -> P (mirror extension + aligned
+    padding, one fused XLA copy).  ``pad_rhs``: interior -> R.
+    ``slice_residual`` / ``slice_solution``: R / P -> interior.
+    """
+
+    matvec: Callable
+    extend_pad: Callable
+    pad_rhs: Callable
+    slice_residual: Callable
+    slice_solution: Callable
+    m: int
+    n: int
 
 
 def max_supported_width(dtype=jnp.float32) -> int:
-    """Width limit of the full-width tiling given ~16MB VMEM."""
-    # (13 coeff + 3 out + 3 * (BM+16)/BM field) * BM * NP * itemsize <~ 14MB
+    """Width limit of the full-width tiling given ~16MB VMEM.
+
+    Scratch: I tile (BM+16, np_u+128) + field tile 3x(BM+16, np_u+128),
+    output block 3xBMxnp_r double-buffered, plus Mosaic temporaries for
+    the rebuilt coefficient planes (~8 x BM x np_r live at once)."""
     itemsize = jnp.dtype(dtype).itemsize
-    budget = 14 * 1024 * 1024
-    per_lane = (13 + 3) * BM * itemsize + 3 * (BM + 2 * _SUB) * itemsize
-    return budget // per_lane
+    budget = 13 * 1024 * 1024
+    per_lane = (4 * (BM + 2 * _SUB) + 6 * BM + 8 * BM) * itemsize
+    return budget // per_lane - _LANE
 
 
-def pad_coefficients(coeffs: elop.ELCoefficients, m: int, n: int) -> jnp.ndarray:
+def make_padded_ops(
+    previous_frame: jnp.ndarray,
+    speed_alpha,
+    remodelling_alpha,
+    dy_mode: str = "compat",
+) -> PaddedOps:
+    """Build the padded-layout fused operator set for one frame pair.
+
+    ``previous_frame``: the (m+2, n+2) full frame whose intensity I
+    defines every EL coefficient (ref optical_flow.py:843-962 — the
+    assembled matrix entries are all local functions of I).
+    """
+    ni, nj = previous_frame.shape
+    m, n = ni - 2, nj - 2
     mp = _round_up(m, BM)
-    np_ = _round_up(n + 2, _LANE)
-    return jnp.pad(stack_coefficients(coeffs), ((0, 0), (0, mp - m), (0, np_ - n)))
+    np_u = _round_up(n + 2, _LANE)
+    np_r = np_u  # equal lane counts keep P/R conversions slice-only
+    dtype = previous_frame.dtype
 
-
-def make_pallas_matvec(coeffs: elop.ELCoefficients, m: int, n: int):
-    """Bind the (padded) coefficient stack once and return a matvec
-    closure with the same signature as elop.el_matvec_reduced's partial.
-    vmap-compatible (one level) via the custom_vmap rule above."""
-    coeff_padded = pad_coefficients(coeffs, m, n)
-    dtype = coeff_padded.dtype
+    i_padded = jnp.pad(
+        previous_frame,
+        ((_ROW_OFFSET, mp + 2 * _SUB - _ROW_OFFSET - ni), (0, np_u - nj)),
+    )
     scalars = jnp.stack(
-        [coeffs.speed_alpha.astype(dtype), coeffs.remodelling_alpha.astype(dtype)]
+        [
+            jnp.asarray(speed_alpha, dtype=dtype),
+            jnp.asarray(remodelling_alpha, dtype=dtype),
+        ]
+    )
+    meta = jnp.array([m, n, 1 if dy_mode == "compat" else 0], dtype=jnp.int32)
+
+    def matvec(u_p):
+        return _padded_matvec(i_padded, scalars, meta, u_p)
+
+    def extend_pad(u_int):
+        # mirror extension (ops.elop.extend_interior semantics: edges
+        # mirror one interior value, corners take 2x the diagonal value)
+        # fused with the aligned pad — one copy, concat/pad lowering
+        # (safe under GSPMD, see ops.elop._extend_with_corners).
+        from opticalflow_tpu.ops import elop
+
+        ext = elop.extend_interior(u_int)  # (3, m+2, n+2)
+        return jnp.pad(
+            ext,
+            (
+                (0, 0),
+                (_ROW_OFFSET, mp + 2 * _SUB - _ROW_OFFSET - ni),
+                (0, np_u - nj),
+            ),
+        )
+
+    def pad_rhs(b_int):
+        return jnp.pad(b_int, ((0, 0), (0, mp - m), (0, np_r - n)))
+
+    def slice_residual(r_pad):
+        return r_pad[:, :m, :n]
+
+    def slice_solution(x_p):
+        # interior row k = ext row k+1 = padded row k+9; col l = padded col l+1
+        return x_p[:, _ROW_OFFSET + 1 : _ROW_OFFSET + 1 + m, 1 : 1 + n]
+
+    return PaddedOps(
+        matvec=matvec,
+        extend_pad=extend_pad,
+        pad_rhs=pad_rhs,
+        slice_residual=slice_residual,
+        slice_solution=slice_solution,
+        m=m,
+        n=n,
     )
 
-    def matvec(u_int):
-        u_ext = elop.extend_interior(u_int)
-        out = _padded_matvec(coeff_padded, scalars, _pad_u_ext(u_ext, m, n))
-        return out[:, :m, :n]
 
-    return matvec
-
-
-def el_matvec_reduced_pallas(coeffs: elop.ELCoefficients, u_int: jnp.ndarray) -> jnp.ndarray:
-    """Drop-in fused-Pallas replacement for ops.elop.el_matvec_reduced."""
-    m, n = u_int.shape[1], u_int.shape[2]
-    return make_pallas_matvec(coeffs, m, n)(u_int)
+def el_matvec_reduced_pallas(
+    previous_frame: jnp.ndarray,
+    speed_alpha,
+    remodelling_alpha,
+    u_int: jnp.ndarray,
+    dy_mode: str = "compat",
+) -> jnp.ndarray:
+    """Drop-in fused-Pallas equivalent of ops.elop.el_matvec_reduced on
+    interior-layout fields (pays the layout conversions; the solver uses
+    the PaddedOps closures directly to avoid them)."""
+    ops = make_padded_ops(previous_frame, speed_alpha, remodelling_alpha, dy_mode)
+    return ops.slice_residual(ops.matvec(ops.extend_pad(u_int)))

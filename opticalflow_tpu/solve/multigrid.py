@@ -301,31 +301,75 @@ def setup(
     return MGHierarchy(levels=tuple(levels), coarse_solve=coarse_solve)
 
 
+def _descend(h: MGHierarchy, lvl: int, b_l: jnp.ndarray, n_smooth: int,
+             smoother: str, damp: float, sweeps: int) -> jnp.ndarray:
+    """Recursive V-cycle descent from level ``lvl`` (zero initial guess)."""
+    if lvl == len(h.levels) - 1:
+        return h.coarse_solve(b_l)
+    level = h.levels[lvl]
+
+    def smooth(x, reverse):
+        if smoother == "jacobi":
+            return jacobi_sweep(level.matvec, level.binv, x, b_l,
+                                damp=damp, sweeps=sweeps)
+        return gs_sweep(level.matvec, level.binv, level.masks, x, b_l,
+                        reverse=reverse)
+
+    x = jnp.zeros_like(b_l)
+    for _ in range(n_smooth):
+        x = smooth(x, reverse=False)
+    r = b_l - level.matvec(x)
+    nxt = h.levels[lvl + 1]
+    e = _descend(h, lvl + 1, restrict(r, nxt.shape), n_smooth, smoother, damp, sweeps)
+    x = x + prolong(e, level.shape)
+    for _ in range(n_smooth):
+        x = smooth(x, reverse=True)
+    return x
+
+
 def v_cycle(h: MGHierarchy, b: jnp.ndarray, n_smooth: int = 1,
             smoother: str = "jacobi", damp: float = 0.7,
             sweeps: int = 2) -> jnp.ndarray:
     """One V(n,n)-cycle from a zero initial guess — a fixed linear operator
     usable as a Krylov preconditioner."""
+    return _descend(h, 0, b, n_smooth, smoother, damp, sweeps)
 
-    def smooth(level, x, b_l, reverse):
-        if smoother == "jacobi":
-            return jacobi_sweep(level.matvec, level.binv, x, b_l,
-                                damp=damp, sweeps=sweeps)
-        return gs_sweep(level.matvec, level.binv, level.masks, x, b_l, reverse=reverse)
 
-    def descend(lvl: int, b_l: jnp.ndarray) -> jnp.ndarray:
-        if lvl == len(h.levels) - 1:
-            return h.coarse_solve(b_l)
-        level = h.levels[lvl]
-        x = jnp.zeros_like(b_l)
-        for _ in range(n_smooth):
-            x = smooth(level, x, b_l, reverse=False)
-        r = b_l - level.matvec(x)
-        nxt = h.levels[lvl + 1]
-        e = descend(lvl + 1, restrict(r, nxt.shape))
-        x = x + prolong(e, level.shape)
-        for _ in range(n_smooth):
-            x = smooth(level, x, b_l, reverse=True)
-        return x
+def v_cycle_padded(h: MGHierarchy, pops, b_R: jnp.ndarray, n_smooth: int = 1,
+                   damp: float = 0.7, sweeps: int = 2) -> jnp.ndarray:
+    """V-cycle whose *fine level* runs on the fused Pallas kernel's
+    aligned layouts (see ops.pallas_kernels.PaddedOps): ``b_R`` is the
+    residual-space (zero-padded) right-hand side and the return value is
+    the solution-space (mirror-extended, padded) correction — exactly the
+    bridge BiCGStab needs for a right preconditioner with a Pallas matvec.
 
-    return descend(0, b)
+    Mathematically identical to :func:`v_cycle` with ``smoother='jacobi'``
+    (the damped block-Jacobi fine sweeps, the coarse-grid correction, and
+    the coarse hierarchy are the same operators; the initial
+    ``matvec(0)`` of the first sweep is skipped because A@0 = 0).  Coarse
+    levels are small, so they stay on the unpadded XLA path.
+    """
+    m, n = h.levels[0].shape
+    binv0 = h.levels[0].binv
+    K = pops.matvec
+
+    def update(r_R):
+        """damped block-Jacobi correction, lifted to solution space."""
+        return pops.extend_pad(damp * apply_blocks(binv0, pops.slice_residual(r_R)))
+
+    # pre-smooth from x = 0 (first sweep's residual is b itself)
+    x_P = update(b_R)
+    for _ in range(n_smooth * sweeps - 1):
+        x_P = x_P + update(b_R - K(x_P))
+    # coarse-grid correction
+    r = b_R - K(x_P)
+    if len(h.levels) == 1:
+        e = h.coarse_solve(pops.slice_residual(r))
+    else:
+        e = _descend(h, 1, restrict(pops.slice_residual(r), h.levels[1].shape),
+                     n_smooth, "jacobi", damp, sweeps)
+    x_P = x_P + pops.extend_pad(prolong(e, (m, n)))
+    # post-smooth
+    for _ in range(n_smooth * sweeps):
+        x_P = x_P + update(b_R - K(x_P))
+    return x_P

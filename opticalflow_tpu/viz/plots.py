@@ -347,3 +347,158 @@ def plot_speed_correlation(flow_a, flow_b, filename, threshold=0.01, dpi=300,
     colorbar.ax.set_ylabel("number of boxes")
     plt.savefig(filename, dpi=dpi)
     plt.close()
+
+
+def make_two_channel_overlay_movie(flow_a, flow_b, filename, label_a="Channel A",
+                                   label_b="Channel B", arrow_boxsize=15,
+                                   arrow_scale=1.0, show_blurred=False,
+                                   shared_movie=None, dpi=300):
+    """Side-by-side overlay of two flow results' images + quivers
+    (ref analysis/compare_rho_and_actin.py:641-680 joint overlay and
+    analyse_short_timeinterval_data.py:620-636 PIV-vs-flow movie).
+
+    ``shared_movie`` shows the same raw movie under both quiver sets (the
+    PIV comparison case); otherwise each result's own data is shown.
+    """
+    key = "blurred_data" if show_blurred else "original_data"
+    movie_a = np.asarray(shared_movie if shared_movie is not None else flow_a[key])
+    movie_b = np.asarray(shared_movie if shared_movie is not None else flow_b[key])
+    xa, ya, vxa, vya = subsample_velocities_for_visualisation(
+        flow_a, arrow_boxsize=arrow_boxsize)
+    xb, yb, vxb, vyb = subsample_velocities_for_visualisation(
+        flow_b, arrow_boxsize=arrow_boxsize)
+    n_frames = min(vxa.shape[0], vxb.shape[0], movie_a.shape[0] - 1)
+    fig = plt.figure(figsize=(4.5, 2.5), constrained_layout=True)
+
+    def animate(i):
+        plt.clf()
+        plt.subplot(121)
+        plt.title(label_a)
+        costum_imshow(movie_a[i], delta_x=flow_a["delta_x"])
+        plt.quiver(ya, xa, vya[i], -vxa[i], color="magenta", headwidth=5,
+                   scale=1.0 / arrow_scale if arrow_scale != 1.0 else None)
+        plt.subplot(122)
+        plt.title(label_b)
+        costum_imshow(movie_b[i], delta_x=flow_b["delta_x"])
+        plt.quiver(yb, xb, vyb[i], -vxb[i], color="magenta", headwidth=5,
+                   scale=1.0 / arrow_scale if arrow_scale != 1.0 else None)
+
+    ani = FuncAnimation(fig, animate, frames=n_frames)
+    _save_animation(ani, filename, dpi)
+    plt.close(fig)
+
+
+def plot_joint_speed_and_angle_histograms(flow_a, flow_b, filename,
+                                          label_a="Channel A", label_b="Channel B",
+                                          speed_range=(0, 0.1), dpi=300):
+    """4-panel figure: per-channel speed histograms (top) and angle-to-y
+    histograms (bottom) (ref compare_rho_and_actin.py:692-737)."""
+    from opticalflow_tpu.analysis.statistics import velocity_angles
+
+    plt.figure(figsize=(4.5, 4.5), constrained_layout=True)
+    for k, (label, flow) in enumerate(((label_a, flow_a), (label_b, flow_b))):
+        plt.subplot(2, 2, k + 1)
+        plt.title(label)
+        speed = np.asarray(flow["speed"])
+        plt.hist(speed[np.isfinite(speed)].ravel(), bins=50, range=speed_range)
+        plt.ylabel("Number of pixels")
+        plt.xlabel(r"Speed [$\mathrm{\mu m}$/s]")
+        plt.gca().ticklabel_format(scilimits=(-3, 3))
+
+        plt.subplot(2, 2, k + 3)
+        angles = velocity_angles(flow)
+        angles = angles[np.isfinite(angles)]
+        plt.hist(angles.ravel() / np.pi, bins=50, range=(-1, 1))
+        plt.gca().ticklabel_format(scilimits=(-3, 3))
+        plt.gca().xaxis.set_major_formatter(
+            matplotlib.ticker.FormatStrFormatter(r"%g$\mathrm{\pi}$"))
+        plt.gca().xaxis.set_major_locator(
+            matplotlib.ticker.MultipleLocator(base=0.5))
+        plt.xlabel("Angle to y axis")
+        plt.ylabel("Number of pixels")
+    plt.savefig(filename, dpi=dpi)
+    plt.close()
+
+
+def plot_angle_between_histogram(flow_a, flow_b, filename, weighted=False,
+                                 bins=50, dpi=300):
+    """Histogram of the per-pixel angle between two channels' velocity
+    vectors, optionally weighted by the speed product
+    (ref compare_rho_and_actin.py:741-767)."""
+    from opticalflow_tpu.analysis.statistics import angles_between
+
+    theta, weights = angles_between(flow_a, flow_b)
+    finite = np.isfinite(theta)
+    plt.figure(figsize=(2.5, 2.5), constrained_layout=True)
+    if weighted:
+        plt.title("Weighted angles")
+        plt.hist(theta[finite].ravel() / np.pi, bins=bins,
+                 weights=weights[finite].ravel(), density=True)
+        plt.ylabel("Density")
+    else:
+        plt.hist(theta[finite].ravel() / np.pi, bins=bins)
+        plt.ylabel("Number of pixels")
+    plt.xlabel(r"|$\mathrm{\theta}$|")
+    plt.gca().xaxis.set_major_formatter(
+        matplotlib.ticker.FormatStrFormatter(r"%g$\mathrm{\pi}$"))
+    plt.gca().xaxis.set_major_locator(matplotlib.ticker.MultipleLocator(base=0.25))
+    plt.savefig(filename, dpi=dpi)
+    plt.close()
+
+
+def plot_ground_truth_validation(flow_result, measurements, filename, frame=8,
+                                 arrow_scale=0.05, dpi=600):
+    """Validation quiver: hand-clicked displacements (blue) vs inferred
+    flow at the click positions (magenta) over the raw frame
+    (ref analyse_short_timeinterval_data.py:566-578)."""
+    movie = np.asarray(flow_result["original_data"])
+    xs = np.asarray(measurements["x_start"], dtype=int)
+    ys = np.asarray(measurements["y_start"], dtype=int)
+    xe = np.asarray(measurements["x_end"])
+    ye = np.asarray(measurements["y_end"])
+    pair_index = min(frame, np.asarray(flow_result["v_x"]).shape[0] - 1)
+    v_x = np.asarray(flow_result["v_x"])[pair_index, xs, ys]
+    v_y = np.asarray(flow_result["v_y"])[pair_index, xs, ys]
+
+    plt.figure(figsize=(2.5, 2.5), constrained_layout=True)
+    costum_imshow(movie[min(frame, movie.shape[0] - 1)],
+                  delta_x=flow_result["delta_x"])
+    plt.quiver(ys, xs, ye - ys, xs - xe, color="blue", headwidth=5,
+               scale=1.0 / arrow_scale)
+    plt.quiver(ys, xs, v_y, -v_x, color="magenta", headwidth=5,
+               scale=1.0 / arrow_scale)
+    plt.savefig(filename, dpi=dpi)
+    plt.close()
+
+
+def plot_parameter_sweep_summary(sweep, filename_start, parameter_key, dpi=300):
+    """Summary figures of a box-size / blur-size sweep: mean speed and
+    speed std vs the parameter, plus the per-location local speeds
+    (ref compare_rho_and_actin.py:463-483 and :591-614, without the
+    per-value animation frames — the sweep itself runs batched on device,
+    see analysis.hyperparams)."""
+    values = np.asarray(sweep[parameter_key])
+    label = parameter_key.rstrip("s")
+
+    plt.figure(figsize=(4.5, 2.5))
+    plt.subplot(121)
+    plt.plot(values, sweep["mean_speeds"])
+    plt.xlabel(label)
+    plt.ylabel(r"mean speed [$\mathrm{\mu m}$/s]")
+    plt.subplot(122)
+    plt.plot(values, sweep["speed_stds"])
+    plt.xlabel(label)
+    plt.ylabel(r"speed standard dev. [$\mathrm{\mu m}$/s]")
+    plt.tight_layout()
+    plt.savefig(filename_start + "_velocities.pdf", dpi=dpi)
+    plt.close()
+
+    plt.figure(figsize=(2.5, 2.5), constrained_layout=True)
+    for location, trace in zip(np.asarray(sweep["test_locations"]),
+                               np.asarray(sweep["local_speeds"])):
+        plt.plot(values, trace, label=f"({location[0]:g}, {location[1]:g})")
+    plt.xlabel(label)
+    plt.ylabel(r"Local speed [$\mathrm{\mu m}$/s]")
+    plt.legend(fontsize=6)
+    plt.savefig(filename_start + "_local_velocities.pdf", dpi=dpi)
+    plt.close()
