@@ -131,7 +131,13 @@ def _sweep_kernel(movie, alpha_pairs, delta_x, delta_t, rtol, dy_mode, method,
 
 def _batched_sweep(movie, speed_alphas, remodelling_alphas, delta_x=1.0, delta_t=1.0,
                    smoothing_sigma=None, dy_mode="compat", solver=None, dtype=None,
-                   **_ignored):
+                   **unsupported):
+    if unsupported:
+        raise TypeError(
+            f"batched sweep does not support {sorted(unsupported)}; grid cells "
+            "are cold-start vmapped solves (pass batched=False for the serial "
+            "variational_optical_flow path, which accepts all of its kwargs)"
+        )
     from opticalflow_tpu.ops.blur import blur_movie
 
     solver = solver or SolverConfig()

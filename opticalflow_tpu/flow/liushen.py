@@ -160,20 +160,38 @@ def liu_shen_movie(movie, initial_v_x, initial_v_y, alpha, iterations: int,
                    delta_x: float = 1.0, delta_t: float = 1.0):
     """All frame pairs of a (T, X, Y) movie through `iterations` sweeps.
 
+    ``initial_v_x/initial_v_y`` may be a single (X, Y) plane (broadcast
+    to every pair, in physical units — scaled by delta_t/delta_x like the
+    reference's :507-508) or a per-pair (T-1, X, Y) stack *already in
+    pixel units* (the continuation form used by the incremental
+    iteration-recording mode, matching the reference's state-carrying
+    recording loop at :1458-1470).
+
     Returns (v_x, v_y) stacks of shape (T-1, X, Y) in pixel units (the
     caller applies physical scaling like the reference's :670-671).
     """
     bordered = jnp.pad(movie, ((0, 0), (1, 1), (1, 1)))
     bordered = jax.vmap(_mirror)(bordered)
 
-    v0x = jnp.pad(initial_v_x * (delta_t / delta_x), ((1, 1), (1, 1)))
-    v0y = jnp.pad(initial_v_y * (delta_t / delta_x), ((1, 1), (1, 1)))
+    n_pairs = movie.shape[0] - 1
+    if initial_v_x.ndim == 2:
+        v0x = jnp.broadcast_to(
+            jnp.pad(initial_v_x * (delta_t / delta_x), ((1, 1), (1, 1))),
+            (n_pairs,) + (movie.shape[1] + 2, movie.shape[2] + 2),
+        )
+        v0y = jnp.broadcast_to(
+            jnp.pad(initial_v_y * (delta_t / delta_x), ((1, 1), (1, 1))),
+            (n_pairs,) + (movie.shape[1] + 2, movie.shape[2] + 2),
+        )
+    else:
+        v0x = jnp.pad(initial_v_x, ((0, 0), (1, 1), (1, 1)))
+        v0y = jnp.pad(initial_v_y, ((0, 0), (1, 1), (1, 1)))
 
-    def run_pair(prev_b, cur_b):
-        vx, vy = liu_shen_pair(prev_b, cur_b, v0x, v0y, alpha, iterations)
+    def run_pair(prev_b, cur_b, v0x_b, v0y_b):
+        vx, vy = liu_shen_pair(prev_b, cur_b, v0x_b, v0y_b, alpha, iterations)
         return vx[1:-1, 1:-1], vy[1:-1, 1:-1]
 
-    v_x, v_y = jax.vmap(run_pair)(bordered[:-1], bordered[1:])
+    v_x, v_y = jax.vmap(run_pair)(bordered[:-1], bordered[1:], v0x, v0y)
     return v_x, v_y
 
 
@@ -198,7 +216,14 @@ def conduct_variational_optical_flow_deprecated(
     """Drop-in equivalent of the reference's deprecated driver (ref
     :1318-1529), including the iteration-recording mode used by the
     convergence plots.  ``remodelling`` is carried unchanged, as in the
-    reference kernel."""
+    reference kernel.
+
+    ``tolerance`` and ``include_remodelling`` are accepted and ignored —
+    faithfully: the reference kernel declares both but never uses them
+    (ref :470-471 documents include_remodelling as "ignored, and exists
+    to ensure that this method has the same call signature"; the
+    tolerance-based early stop is commented out at ref :1457, :1485-1490
+    and ``iterations = max_iterations`` unconditionally at ref :491)."""
     if not use_liu_shen:
         raise ValueError(
             "the deprecated path only supports the Liu-Shen kernel "
@@ -233,10 +258,20 @@ def conduct_variational_optical_flow_deprecated(
         vy_steps = np.zeros_like(vx_steps)
         vx_steps[:, 0] = np.asarray(init_vx)
         vy_steps[:, 0] = np.asarray(init_vy)
-        for rec in range(1, n_records + 1):
+        # incremental continuation, like the reference's recording loop
+        # (ref :1458-1470): each record runs `iteration_stepsize` sweeps
+        # from the previous record's per-pair state (pixel units)
+        if n_records >= 1:
             v_x, v_y = liu_shen_movie(
                 movie_to_analyse, init_vx, init_vy, speed_alpha,
-                rec * iteration_stepsize, delta_x, delta_t,
+                iteration_stepsize, delta_x, delta_t,
+            )
+            vx_steps[:, 1] = np.asarray(v_x) * scale
+            vy_steps[:, 1] = np.asarray(v_y) * scale
+        for rec in range(2, n_records + 1):
+            v_x, v_y = liu_shen_movie(
+                movie_to_analyse, v_x, v_y, speed_alpha,
+                iteration_stepsize, delta_x, delta_t,
             )
             vx_steps[:, rec] = np.asarray(v_x) * scale
             vy_steps[:, rec] = np.asarray(v_y) * scale

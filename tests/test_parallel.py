@@ -64,3 +64,53 @@ def test_sharded_box_flow_matches_single_device(movie):
     vx, vy, speed, _ = box_flow(jnp.asarray(movie, jnp.float64), 7, 0.5, 1.0, False)
     np.testing.assert_allclose(np.asarray(vx_s), np.asarray(vx), rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(speed_s), np.asarray(speed), rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "dims,tiles",
+    [
+        ((130, 130), (2, 2)),  # 128^2 interior, square tiling, 65x65 shards
+        ((128, 96), (2, 4)),   # non-square image, non-square 64x24 shards
+    ],
+)
+def test_sharded_reduced_matvec_matches_untiled_at_size(dims, tiles):
+    """The boundary-row fold-in (ops.elop._extend_with_corners) under GSPMD
+    tiling at sizes where one shard does NOT span the whole boundary region
+    — the exact scatter-partitioning hazard the concat-based extension
+    works around.  The matvec is deterministic elementwise arithmetic, so
+    tiled and untiled must agree to fp-roundoff, not solver tolerance
+    (rtol 1e-11: partition boundaries change fusion/FMA choices, measured
+    ~1e-13 relative; a genuine boundary miscompile produces O(1) errors)."""
+    from opticalflow_tpu.ops import elop
+
+    ni, nj = dims
+    tx, ty = tiles
+    rng = np.random.default_rng(7)
+    prev = jnp.asarray(rng.normal(size=(ni, nj)), jnp.float64)
+    cur = jnp.asarray(prev + 0.01 * rng.normal(size=(ni, nj)), jnp.float64)
+    # full-grid field; the interior slice happens inside jit so GSPMD owns
+    # the (odd-sized) repartitioning, like in the real solve pipeline
+    u_full = jnp.asarray(rng.normal(size=(3, ni, nj)), jnp.float64)
+
+    @jax.jit
+    def matvec(p, c, uu):
+        pd = elop.compute_frame_pair_data(p, c, 1000.0, 1000.0, "compat")
+        return elop.el_matvec_reduced(pd.coeffs, uu[:, 1:-1, 1:-1])
+
+    y_ref = np.asarray(matvec(prev, cur, u_full))
+
+    mesh = mesh_lib.make_mesh(jax.devices()[: tx * ty], frames=1, tx=tx, ty=ty)
+    tile_spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("tx", "ty")
+    )
+    field_spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "tx", "ty")
+    )
+    y_tiled = np.asarray(
+        matvec(
+            jax.device_put(prev, tile_spec),
+            jax.device_put(cur, tile_spec),
+            jax.device_put(u_full, field_spec),
+        )
+    )
+    np.testing.assert_allclose(y_tiled, y_ref, rtol=1e-11, atol=1e-11)
