@@ -41,7 +41,12 @@ def make_movie(n_frames, dim, dtype):
         n_frames=n_frames, dimension=dim, width=20.0, sigma=3.0, v_x=0.15, v_y=0.1,
         dtype=dtype,
     )
-    return np.asarray(movie) * 100.0, delta_x
+    # Round the frames through f32 so the f64 oracle and the f32 engine see
+    # the *same* data — real microscopy frames are integer-valued (uint16)
+    # and exactly representable in f32, so this matches production; the EPE
+    # then measures pure solver error, not synthetic-data rounding.
+    movie = np.asarray(np.asarray(movie, np.float64) * 100.0, np.float32)
+    return movie.astype(np.float64), delta_x
 
 
 def bench_tpu(movie):

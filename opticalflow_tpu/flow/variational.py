@@ -102,8 +102,10 @@ def solve_frame_pair(
     rtol: float = 1e-6,
     max_iterations: int = 1000,
     high_precision_reductions: bool = True,
-    refinement_restarts: int = 1,
+    refinement_restarts: int = 2,
     matvec_impl: str = "auto",
+    tol_floor: float = 300.0,
+    refinement_rtol: float = 0.2,
 ):
     """Solve the coupled EL system for one frame pair (pixel units).
 
@@ -132,9 +134,11 @@ def solve_frame_pair(
     intensity_scale = jnp.maximum(
         jnp.max(jnp.abs(previous_frame)), jnp.asarray(1e-30, dtype)
     ).astype(dtype)
+    raw_prev, raw_cur = previous_frame, current_frame
+    raw_speed_alpha = jnp.asarray(speed_alpha, dtype)
     previous_frame = previous_frame / intensity_scale
     current_frame = current_frame / intensity_scale
-    speed_alpha = jnp.asarray(speed_alpha, dtype) / intensity_scale**2
+    speed_alpha = raw_speed_alpha / intensity_scale**2
     u0 = jnp.concatenate([u0[:2], u0[2:] / intensity_scale], axis=0)
 
     pair = elop.compute_frame_pair_data(
@@ -208,29 +212,67 @@ def solve_frame_pair(
         rtol=rtol,
         max_iterations=max_iterations,
         high_precision_reductions=high_precision_reductions,
+        tol_floor_eps_multiple=tol_floor,
     )
-    # One refinement restart: re-enter with a freshly computed residual.
-    # In f32 this resets BiCGStab's accumulated recurrence error and
-    # measurably tightens the solution (EPE) at ~2 extra matvecs when the
-    # first solve already converged.
-    for _ in range(refinement_restarts):
-        res2 = solver_fn(
-            matvec,
-            b_K,
-            x0=res.x,
-            precond=precond,
-            rtol=rtol,
-            max_iterations=max_iterations,
-            high_precision_reductions=high_precision_reductions,
-        )
-        res = krylov.KrylovResult(
-            x=res2.x,
-            iterations=res.iterations + res2.iterations,
-            residual_norm=res2.residual_norm,
-            converged=res2.converged,
-        )
 
-    x_int = pops.slice_solution(res.x) if use_pallas else res.x
+    # Mixed-precision iterative refinement (the TPU answer to PETSc's f64
+    # solve).  Two f32 noise floors block accuracy beyond ~1e-3 px EPE:
+    # the cancellative f32 matvec evaluation (true residual stalls ~2e-4
+    # relative) and the f32 *computation* of the coefficient planes (the
+    # perturbed system's exact solution is already ~4.6e-4 px away).  So
+    # each refinement step evaluates b - A x against double-float system
+    # data (elop.compute_frame_pair_data_df — coefficients, RHS, and the
+    # normalisation division all in pair arithmetic, exact to ~eps^2),
+    # with x itself carried as a hi+lo pair, then solves the correction
+    # system to `refinement_rtol` with the same fused f32 matvec +
+    # preconditioner.  The true residual contracts by ~refinement_rtol
+    # per step and the fixed point is the f64-quality solution.  Measured
+    # at 256^2 f32 vs the f64 direct solve: EPE 2.4e-3 px (no refinement)
+    # -> <1e-4 px (two steps); see bench.py / tests/test_accuracy_gate.py.
+    iterations = res.iterations
+    residual_norm = res.residual_norm
+    converged = res.converged
+    if refinement_restarts > 0:
+        from opticalflow_tpu.ops import df32
+
+        dfd = elop.compute_frame_pair_data_df(
+            raw_prev, raw_cur, raw_speed_alpha, remodelling_alpha, dy_mode,
+            intensity_scale,
+        )
+        eff_rtol = jnp.maximum(
+            jnp.asarray(rtol, b_red.dtype), tol_floor * float(jnp.finfo(b_red.dtype).eps)
+        )
+        b_norm = jnp.sqrt(jnp.sum(b_red * b_red))
+        tol_main = eff_rtol * b_norm
+        x_hi = pops.slice_solution(res.x) if use_pallas else res.x
+        x_lo = jnp.zeros_like(x_hi)
+        x0_zero = jnp.zeros_like(res.x)
+        for _ in range(refinement_restarts):
+            r_hi = elop.el_residual_df(dfd, x_hi, x_lo)
+            r_K = pops.pad_rhs(r_hi) if use_pallas else r_hi
+            res_c = solver_fn(
+                matvec,
+                r_K,
+                x0=x0_zero,
+                precond=precond,
+                rtol=refinement_rtol,
+                max_iterations=max_iterations,
+                high_precision_reductions=high_precision_reductions,
+                tol_floor_eps_multiple=tol_floor,
+            )
+            d_int = pops.slice_solution(res_c.x) if use_pallas else res_c.x
+            s, e = df32.two_sum(x_hi, d_int)
+            x_hi, x_lo = df32.fast_two_sum(s, x_lo + e)
+            iterations = iterations + res_c.iterations
+            # ||r - A d|| == ||b - A (x + d)|| up to f32 evaluation noise
+            residual_norm = res_c.residual_norm
+            converged = residual_norm <= tol_main
+        x_int = x_hi + x_lo
+    else:
+        x_int = pops.slice_solution(res.x) if use_pallas else res.x
+    res = krylov.KrylovResult(
+        x=res.x, iterations=iterations, residual_norm=residual_norm, converged=converged
+    )
 
     # Embed + mirror-BC fix-up, mainly for the corner rows (ref :1163-1166).
     u = elop.embed_interior(x_int)
@@ -255,7 +297,8 @@ def solve_frame_pair(
 @functools.partial(
     jax.jit,
     static_argnames=("dy_mode", "method", "preconditioner", "max_iterations",
-                     "high_precision_reductions", "warm_start", "matvec_impl"),
+                     "high_precision_reductions", "warm_start", "matvec_impl",
+                     "refinement_restarts"),
 )
 def _solve_movie(
     movie,
@@ -270,6 +313,9 @@ def _solve_movie(
     high_precision_reductions,
     warm_start,
     matvec_impl="auto",
+    refinement_restarts=2,
+    tol_floor=300.0,
+    refinement_rtol=0.2,
 ):
     prev_frames = movie[:-1]
     cur_frames = movie[1:]
@@ -285,6 +331,9 @@ def _solve_movie(
         max_iterations=max_iterations,
         high_precision_reductions=high_precision_reductions,
         matvec_impl=matvec_impl,
+        refinement_restarts=refinement_restarts,
+        tol_floor=tol_floor,
+        refinement_rtol=refinement_rtol,
     )
 
     if warm_start == "sequential":
@@ -371,6 +420,9 @@ def variational_optical_flow(
             solver.high_precision_reductions,
             warm_start,
             solver.matvec,
+            solver.refinement_restarts,
+            solver.dtype_tol_floor,
+            solver.refinement_rtol,
         )
 
     all_u = np.asarray(all_u)

@@ -279,6 +279,216 @@ def el_matvec_reduced(coeffs: ELCoefficients, u_int: jnp.ndarray) -> jnp.ndarray
     return interior_apply(coeffs, extend_interior(u_int))
 
 
+# ---------------------------------------------------------------------------
+# Double-float (df32) exact system data + residual for iterative refinement
+#
+# Why: (a) the plain f32 matvec is catastrophically cancellative (stencil
+# terms O(alpha*u) cancel to a result ~1e3x smaller), flooring the true
+# attainable residual of the f32 Krylov solve at ~2e-4 relative; (b) the
+# f32 *computation* of the coefficient planes alone perturbs the system
+# enough to move the exact solution by ~4.6e-4 px at 256^2 (measured vs
+# f64-computed coefficients of the same f32 frames — microscopy data is
+# integer-valued, so the frames themselves are exact in f32).  Both are
+# fixed by evaluating the refinement residual against system data computed
+# in double-float compensated arithmetic (ops.df32): the refinement then
+# converges to the f64-quality solution while every Krylov iteration stays
+# pure f32.  This is the TPU answer to the reference's f64 PETSc solve
+# (ref optical_flow.py:1096-1147) on hardware without fast f64.
+# ---------------------------------------------------------------------------
+
+
+class ELPairDataDF(NamedTuple):
+    """Double-float system data for one frame pair (normalised units).
+    Every field is a ``(hi, lo)`` pair of interior-shaped planes (scalars
+    for the alphas / gamma diagonal); ``rhs`` pairs are interior-shaped
+    ``(3, m, n)``."""
+
+    diag_x: tuple
+    diag_y: tuple
+    cross: tuple
+    adv_xm: tuple
+    adv_xp: tuple
+    adv_ym: tuple
+    adv_yp: tuple
+    gx: tuple
+    gy: tuple
+    quart: tuple
+    half_I: tuple
+    dIdx: tuple
+    dIdy: tuple
+    a_s: tuple
+    a_r: tuple
+    gD: tuple
+    rhs_hi: jnp.ndarray  # (3, m, n)
+    rhs_lo: jnp.ndarray
+
+
+def compute_frame_pair_data_df(
+    previous_frame_raw: jnp.ndarray,
+    current_frame_raw: jnp.ndarray,
+    speed_alpha_raw,
+    remodelling_alpha,
+    dy_mode: str,
+    intensity_scale,
+) -> ELPairDataDF:
+    """Build the df32 system data of the *normalised* EL system from the
+    raw (un-normalised, exactly representable) frames.
+
+    The normalisation division, every derivative stencil, and every
+    coefficient product are carried out in pair arithmetic, so the planes
+    represent the exact normalised system to ~eps^2 — the refinement's
+    fixed point is then the f64-quality solution.  Scalar roundings that
+    perturb the system only *uniformly* (the alphas, the gamma diagonal)
+    are also carried as pairs for completeness.
+    """
+    from opticalflow_tpu.ops import df32
+
+    prev = df32.df_div(df32.df_from(previous_frame_raw), intensity_scale)
+    cur = df32.df_div(df32.df_from(current_frame_raw), intensity_scale)
+
+    def sl(p, i0, i1, j0, j1):
+        # slice a plane pair; bounds follow numpy's a[i0:i1, j0:j1] with
+        # i1/j1 of 0 meaning "to the end"
+        hi, lo = p
+        i_end = hi.shape[0] + i1 if i1 < 0 else None
+        j_end = hi.shape[1] + j1 if j1 < 0 else None
+        return hi[i0:i_end, j0:j_end], lo[i0:i_end, j0:j_end]
+
+    def ddx_df(p):
+        return df32.df_scale_pow2(df32.df_sub(sl(p, 2, 0, 1, -1), sl(p, 0, -2, 1, -1)), 0.5)
+
+    def ddy_df(p):
+        return df32.df_scale_pow2(df32.df_sub(sl(p, 1, -1, 2, 0), sl(p, 1, -1, 0, -2)), 0.5)
+
+    I = sl(prev, 1, -1, 1, -1)
+    dIdx = ddx_df(prev)
+    dIdy = dIdx if dy_mode == "compat" else ddy_df(prev)
+    two_I = df32.df_scale_pow2(I, 2.0)
+    dIdxx = df32.df_sub(df32.df_add(sl(prev, 2, 0, 1, -1), sl(prev, 0, -2, 1, -1)), two_I)
+    dIdyy = df32.df_sub(df32.df_add(sl(prev, 1, -1, 2, 0), sl(prev, 1, -1, 0, -2)), two_I)
+    dIdxy = df32.df_scale_pow2(
+        df32.df_add(
+            df32.df_sub(sl(prev, 2, 0, 2, 0), sl(prev, 2, 0, 0, -2)),
+            df32.df_sub(sl(prev, 0, -2, 0, -2), sl(prev, 0, -2, 2, 0)),
+        ),
+        0.25,
+    )
+    dIdx_t = df32.df_sub(ddx_df(cur), ddx_df(prev))
+    dIdy_t = df32.df_sub(ddy_df(cur), ddy_df(prev))
+    dIdt = df32.df_sub(sl(cur, 1, -1, 1, -1), I)
+
+    dtype = previous_frame_raw.dtype
+    a_s = df32.df_div(
+        df32.df_div_f(jnp.asarray(speed_alpha_raw, dtype), intensity_scale), intensity_scale
+    )
+    a_r = df32.df_from(jnp.asarray(remodelling_alpha, dtype))
+    four_a_s = df32.df_scale_pow2(a_s, 4.0)
+    gD = df32.df_add_pf(df32.df_scale_pow2(a_r, -4.0), jnp.asarray(-1.0, dtype))
+
+    def bc(pair_scalar, shape):
+        # broadcast a scalar pair to a plane pair
+        hi, lo = pair_scalar
+        return jnp.broadcast_to(hi, shape), jnp.broadcast_to(lo, shape)
+
+    shape = I[0].shape
+    diag_x = df32.df_sub(df32.df_mul(I, df32.df_sub(dIdxx, two_I)), bc(four_a_s, shape))
+    diag_y = df32.df_sub(df32.df_mul(I, df32.df_sub(dIdyy, two_I)), bc(four_a_s, shape))
+    cross = df32.df_mul(I, dIdxy)
+    adv_xm = df32.df_add(df32.df_mul(I, df32.df_sub(I, dIdx)), bc(a_s, shape))
+    adv_xp = df32.df_add(df32.df_mul(I, df32.df_add(dIdx, I)), bc(a_s, shape))
+    adv_ym = df32.df_add(df32.df_mul(I, df32.df_sub(I, dIdy)), bc(a_s, shape))
+    adv_yp = df32.df_add(df32.df_mul(I, df32.df_add(dIdy, I)), bc(a_s, shape))
+    gx = df32.df_scale_pow2(df32.df_mul(I, dIdx), 0.5)
+    gy = df32.df_scale_pow2(df32.df_mul(I, dIdy), 0.5)
+    quart = df32.df_scale_pow2(df32.df_mul(I, I), 0.25)
+    half_I = df32.df_scale_pow2(I, 0.5)
+
+    r0 = df32.df_neg(df32.df_mul(I, dIdx_t))
+    r1 = df32.df_neg(df32.df_mul(I, dIdy_t))
+    r2 = df32.df_neg(dIdt)
+    rhs_hi = jnp.stack([r0[0], r1[0], r2[0]])
+    rhs_lo = jnp.stack([r0[1], r1[1], r2[1]])
+
+    return ELPairDataDF(
+        diag_x=diag_x, diag_y=diag_y, cross=cross,
+        adv_xm=adv_xm, adv_xp=adv_xp, adv_ym=adv_ym, adv_yp=adv_yp,
+        gx=gx, gy=gy, quart=quart, half_I=half_I,
+        dIdx=dIdx, dIdy=dIdy, a_s=a_s, a_r=a_r, gD=gD,
+        rhs_hi=rhs_hi, rhs_lo=rhs_lo,
+    )
+
+
+def el_residual_df(dfd: ELPairDataDF, x_hi: jnp.ndarray, x_lo: jnp.ndarray) -> jnp.ndarray:
+    """``b - A_reduced x`` of the df32 system, for ``x`` carried as a
+    ``hi + lo`` pair — the residual is exact to ~eps^2, so iterative
+    refinement keeps contracting instead of stalling at the f32
+    matvec-evaluation / representation noise floor (see module notes).
+    Runs once per refinement step, outside the Krylov loop.
+
+    The mirror extension only copies values and scales corners by 2.0
+    (exact), so it is applied to hi and lo independently.
+    """
+    from opticalflow_tpu.ops import df32
+
+    u_hi = extend_interior(x_hi)
+    u_lo = extend_interior(x_lo)
+
+    def sh2(q, di, dj):
+        return _shift(u_hi[q], di, dj), _shift(u_lo[q], di, dj)
+
+    def acc_sub(acc, coef, plane):
+        """acc -= coef (pair) * plane (pair); x_lo products stay plain f32
+        (their rounding is ~eps^2 of the term)."""
+        c_hi, c_lo = coef
+        p_hi, p_lo = plane
+        p, e = df32.two_prod(c_hi, p_hi)
+        small = e + c_lo * p_hi + c_hi * p_lo
+        s, e2 = df32.two_sum(acc[0], -p)
+        return s, acc[1] + (e2 - small)
+
+    def neg(coef):
+        return -coef[0], -coef[1]
+
+    d = dfd
+    UX, UY, G = 0, 1, 2
+
+    def chan(b_hi, b_lo, terms):
+        acc = (b_hi, b_lo)
+        for coef, (q, di, dj) in terms:
+            acc = acc_sub(acc, coef, sh2(q, di, dj))
+        return df32.df_result(acc)
+
+    r_ux = chan(d.rhs_hi[0], d.rhs_lo[0], [
+        (d.diag_x, (UX, 0, 0)), (d.cross, (UY, 0, 0)),
+        (d.adv_xm, (UX, -1, 0)), (d.adv_xp, (UX, +1, 0)),
+        (d.a_s, (UX, 0, -1)), (d.a_s, (UX, 0, +1)),
+        (d.gx, (UY, 0, +1)), (neg(d.gx), (UY, 0, -1)),
+        (d.gy, (UY, +1, 0)), (neg(d.gy), (UY, -1, 0)),
+        (d.quart, (UY, -1, -1)), (d.quart, (UY, +1, +1)),
+        (neg(d.quart), (UY, -1, +1)), (neg(d.quart), (UY, +1, -1)),
+        (d.half_I, (G, -1, 0)), (neg(d.half_I), (G, +1, 0)),
+    ])
+    r_uy = chan(d.rhs_hi[1], d.rhs_lo[1], [
+        (d.diag_y, (UY, 0, 0)), (d.cross, (UX, 0, 0)),
+        (d.adv_ym, (UY, 0, -1)), (d.adv_yp, (UY, 0, +1)),
+        (d.a_s, (UY, -1, 0)), (d.a_s, (UY, +1, 0)),
+        (d.gy, (UX, +1, 0)), (neg(d.gy), (UX, -1, 0)),
+        (d.gx, (UX, 0, +1)), (neg(d.gx), (UX, 0, -1)),
+        (d.quart, (UX, -1, -1)), (d.quart, (UX, +1, +1)),
+        (neg(d.quart), (UX, -1, +1)), (neg(d.quart), (UX, +1, -1)),
+        (d.half_I, (G, 0, -1)), (neg(d.half_I), (G, 0, +1)),
+    ])
+    r_g = chan(d.rhs_hi[2], d.rhs_lo[2], [
+        (d.gD, (G, 0, 0)),
+        (d.dIdx, (UX, 0, 0)), (d.dIdy, (UY, 0, 0)),
+        (d.a_r, (G, -1, 0)), (d.a_r, (G, +1, 0)),
+        (d.a_r, (G, 0, -1)), (d.a_r, (G, 0, +1)),
+        (d.half_I, (UX, +1, 0)), (neg(d.half_I), (UX, -1, 0)),
+        (d.half_I, (UY, 0, +1)), (neg(d.half_I), (UY, 0, -1)),
+    ])
+    return jnp.stack([r_ux, r_uy, r_g])
+
+
 def embed_interior(u_int: jnp.ndarray) -> jnp.ndarray:
     """Place an interior solution into the full grid and fill the boundary
     with the reference's post-solve mirror fix-up (ref :1163-1166) — note
