@@ -1,27 +1,38 @@
-"""Scratch: per-BiCGStab-iteration cost via the slope of solve time vs
-fixed iteration count (rtol below the f32 floor so max_iterations is
-binding) — amortizes compile/dispatch/tunnel overhead exactly as the
-real workload does."""
-import sys, os, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+"""Per-BiCGStab-iteration cost via the slope of solve time vs fixed
+iteration count (rtol below the f32 floor so max_iterations is binding) —
+amortizes compile/dispatch/tunnel overhead exactly as the real workload
+does.  Uses the public API (``variational_optical_flow`` + ``SolverConfig``).
+
+Run from the repo root: ``python bench/iteration_cost.py <dim> <batch>``.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
-import jax
-import jax.numpy as jnp
+
+from opticalflow_tpu import SolverConfig, variational_optical_flow
 from opticalflow_tpu.core.synth import make_translating_blob_movie
-from opticalflow_tpu.flow.variational import _solve_movie
 
 A_S = A_R = 1000.0
 
 
-def solve_time(movie, dim, matvec, precond, iters, reps=3):
+def solve_time(movie, matvec, precond, iters, reps=3):
     def run(mov):
-        all_u, infos = _solve_movie(
-            jnp.asarray(mov, jnp.float32),
-            jnp.zeros((3, dim, dim), jnp.float32),
-            jnp.float32(A_S), jnp.float32(A_R),
-            "compat", "bicgstab", precond, 1e-30, iters, True, "cold", matvec)
-        jax.block_until_ready(all_u)
-        return infos
+        return variational_optical_flow(
+            mov,
+            speed_alpha=A_S,
+            remodelling_alpha=A_R,
+            warm_start="cold",
+            solver=SolverConfig(
+                matvec=matvec, preconditioner=precond, rtol=1e-30,
+                max_iterations=iters, dtype_tol_floor=0.0,
+                refinement_restarts=0,
+            ),
+            dtype=np.float32,
+        )
+
     infos = run(movie)  # compile
     # vmapped while_loop runs until every lane's cond fails -> the max
     # over the batch is the runtime-determining iteration count
@@ -43,8 +54,8 @@ def profile(dim, batch):
     for precond in ("multigrid",):
         for matvec in ("xla", "pallas"):
             lo, hi = 3, 9
-            t_lo, i_lo = solve_time(movie, dim, matvec, precond, lo)
-            t_hi, i_hi = solve_time(movie, dim, matvec, precond, hi)
+            t_lo, i_lo = solve_time(movie, matvec, precond, lo)
+            t_hi, i_hi = solve_time(movie, matvec, precond, hi)
             per_it = (t_hi - t_lo) / (i_hi - i_lo)
             fixed = t_lo - per_it * i_lo
             print(f"{precond:12s} {matvec:6s}: {per_it*1e3:8.2f} ms/iter "
@@ -53,6 +64,4 @@ def profile(dim, batch):
 
 
 if __name__ == "__main__":
-    import sys as _s
-    d, b = int(_s.argv[1]), int(_s.argv[2])
-    profile(d, b)
+    profile(int(sys.argv[1]), int(sys.argv[2]))

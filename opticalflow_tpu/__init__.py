@@ -24,12 +24,13 @@ The universal data contract is :class:`opticalflow_tpu.core.types.FlowResult`
 
 __version__ = "0.1.0"
 
-from opticalflow_tpu.core.types import FlowResult, VariationalConfig, SolverConfig
+from opticalflow_tpu.core.types import BoxFlowConfig, FlowResult, SolverConfig, VariationalConfig
 from opticalflow_tpu.flow.boxflow import conduct_optical_flow
 from opticalflow_tpu.flow.variational import variational_optical_flow
 from opticalflow_tpu.ops.blur import blur_movie
 
 __all__ = [
+    "BoxFlowConfig",
     "FlowResult",
     "VariationalConfig",
     "SolverConfig",

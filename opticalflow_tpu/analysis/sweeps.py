@@ -82,51 +82,64 @@ def vary_regularisation(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dy_mode", "method", "preconditioner", "max_iterations", "n_pairs"),
+    static_argnames=("dy_mode", "method", "preconditioner", "max_iterations",
+                     "n_pairs", "matvec_impl"),
 )
 def _sweep_kernel(movie, alpha_pairs, delta_x, delta_t, rtol, dy_mode, method,
-                  preconditioner, max_iterations, n_pairs):
+                  preconditioner, max_iterations, n_pairs, matvec_impl="auto"):
     prev = movie[:-1]
     cur = movie[1:]
     u_init = jnp.zeros((3,) + movie.shape[1:], dtype=movie.dtype)
+    n_cells = alpha_pairs.shape[0]
 
-    def solve_cell(alphas):
-        a_s, a_r = alphas[0], alphas[1]
+    # The (grid cell, frame pair) product is flattened into ONE vmap axis:
+    # the fused Pallas matvec's custom_vmap rule supports exactly one level
+    # of batching, so a nested vmap(cell)∘vmap(pair) would fail on a TPU
+    # backend where matvec_impl='auto' resolves to 'pallas' (round-2
+    # VERDICT hazard #5).  The frames are broadcast per cell — XLA keeps
+    # the tile as a view until the kernel consumes it.
+    prev_f = jnp.tile(prev, (n_cells, 1, 1))
+    cur_f = jnp.tile(cur, (n_cells, 1, 1))
+    alphas_f = jnp.repeat(alpha_pairs, n_pairs, axis=0)
 
-        def solve_pair(p, c):
-            u, info = solve_frame_pair(
-                p, c, u_init, a_s, a_r, dy_mode=dy_mode, method=method,
-                preconditioner=preconditioner, rtol=rtol,
-                max_iterations=max_iterations,
-            )
-            return u, info
+    def solve_one(p, c, alphas):
+        return solve_frame_pair(
+            p, c, u_init, alphas[0], alphas[1], dy_mode=dy_mode, method=method,
+            preconditioner=preconditioner, rtol=rtol,
+            max_iterations=max_iterations, matvec_impl=matvec_impl,
+        )
 
-        all_u, infos = jax.vmap(solve_pair)(prev, cur)
-        scale = delta_x / delta_t
-        v = all_u[:, :2] * scale
-        speed = jnp.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2)
-        remodelling = all_u[:, 2]
-        return {
-            "speed_mean": jnp.mean(speed),
-            "speed_var": jnp.var(speed),
-            "remodelling_mean": jnp.mean(remodelling),
-            "remodelling_var": jnp.var(remodelling),
-            "converged": jnp.all(infos["converged"]),
-            # total functional = L1 + speed + remodelling (note: in compat
-            # mode the reference's tuning objective double-counts the
-            # remodelling functional instead of speed, ref :1205; we keep
-            # the *correct* objective here and expose both pieces)
-            "functional": jnp.sum(
-                infos["L1_functional"]
-                + infos["speed_functional"]
-                + infos["remodelling_functional"]
-            ),
-            "functional_ref_compat": jnp.sum(
-                infos["L1_functional"] + 2.0 * infos["remodelling_functional"]
-            ),
-        }
-
-    return jax.vmap(solve_cell)(alpha_pairs)
+    all_u, infos = jax.vmap(solve_one)(prev_f, cur_f, alphas_f)
+    all_u = all_u.reshape((n_cells, n_pairs) + all_u.shape[1:])
+    infos = jax.tree.map(
+        lambda x: x.reshape((n_cells, n_pairs) + x.shape[1:]), infos
+    )
+    scale = delta_x / delta_t
+    v = all_u[:, :, :2] * scale
+    speed = jnp.sqrt(v[:, :, 0] ** 2 + v[:, :, 1] ** 2)
+    remodelling = all_u[:, :, 2]
+    cell_axes = (1, 2, 3)
+    return {
+        "speed_mean": jnp.mean(speed, axis=cell_axes),
+        "speed_var": jnp.var(speed, axis=cell_axes),
+        "remodelling_mean": jnp.mean(remodelling, axis=cell_axes),
+        "remodelling_var": jnp.var(remodelling, axis=cell_axes),
+        "converged": jnp.all(infos["converged"], axis=1),
+        # total functional = L1 + speed + remodelling (note: in compat
+        # mode the reference's tuning objective double-counts the
+        # remodelling functional instead of speed, ref :1205; we keep
+        # the *correct* objective here and expose both pieces)
+        "functional": jnp.sum(
+            infos["L1_functional"]
+            + infos["speed_functional"]
+            + infos["remodelling_functional"],
+            axis=1,
+        ),
+        "functional_ref_compat": jnp.sum(
+            infos["L1_functional"] + 2.0 * infos["remodelling_functional"],
+            axis=1,
+        ),
+    }
 
 
 def _batched_sweep(movie, speed_alphas, remodelling_alphas, delta_x=1.0, delta_t=1.0,
@@ -161,6 +174,7 @@ def _batched_sweep(movie, speed_alphas, remodelling_alphas, delta_x=1.0, delta_t
         solver.preconditioner,
         solver.max_iterations,
         movie.shape[0] - 1,
+        solver.matvec,
     )
     shape = (len(speed_alphas), len(remodelling_alphas))
     return {

@@ -153,8 +153,12 @@ def make_remodelling_ramp_movie(
 
     The continuity model the solver inverts is
     ``dI/dt + v . grad I + I div v = gamma``; with uniform v (div v = 0)
-    the exact one-step movie is ``I_t = I_0(x - v t) + t * gamma``
-    (gamma in intensity units per frame interval; delta_t = 1).
+    the one-step movie ``I_t = I_0(x - v t) + t * gamma`` satisfies it
+    exactly to first order in ``t * v . grad(gamma)`` — for spatially
+    varying gamma the created material is *not* advected along the
+    characteristic, leaving that O(t * |v| * |grad gamma|) residual
+    (negligible at the test parameters; gamma in intensity units per
+    frame interval, delta_t = 1).
 
     ``background`` selects the carrier image:
 
@@ -232,16 +236,20 @@ def vortex_pair_velocity(
     ii = jnp.arange(dimension, dtype=dtype)[:, None]
     jj = jnp.arange(dimension, dtype=dtype)[None, :]
     s2 = core_sigma**2
-    # max of |grad psi| for a single Gaussian vortex: at r = s/sqrt(2),
-    # |v| = A * sqrt(2/e) / s
-    amp = peak_speed * core_sigma / np.sqrt(2.0 / np.e)
     v_x = jnp.zeros((dimension, dimension), dtype)
     v_y = jnp.zeros((dimension, dimension), dtype)
     for sign, (cx, cy) in zip((1.0, -1.0), centers):
         e = jnp.exp(-((ii - cx) ** 2 + (jj - cy) ** 2) / s2)
-        v_x = v_x + sign * amp * (-2.0 * (jj - cy) / s2) * e
-        v_y = v_y - sign * amp * (-2.0 * (ii - cx) / s2) * e
-    return v_x, v_y
+        v_x = v_x + sign * (-2.0 * (jj - cy) / s2) * e
+        v_y = v_y - sign * (-2.0 * (ii - cx) / s2) * e
+    # Normalise against the sampled *pair* field: between the cores the
+    # counter-rotating partners add, so the single-vortex analytic peak
+    # (A*sqrt(2/e)/s at r=s/sqrt(2)) understates max |v| and would let
+    # the actual peak exceed peak_speed — eroding the O(|v|^2)
+    # warp-accuracy margin callers size via peak_speed.
+    vmax = jnp.sqrt(jnp.max(v_x**2 + v_y**2))
+    scale = peak_speed / jnp.maximum(vmax, jnp.asarray(1e-300, dtype))
+    return v_x * scale, v_y * scale
 
 
 def make_vortex_pair_movie(

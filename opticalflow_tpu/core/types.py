@@ -162,8 +162,9 @@ class SolverConfig:
 
 @dataclasses.dataclass(frozen=True)
 class VariationalConfig:
-    """Configuration for the flagship variational flow solve
-    (mirrors the kwargs of ref ``variational_optical_flow``, :715-724)."""
+    """Reusable experiment preset for the flagship variational flow solve
+    (mirrors the kwargs of ref ``variational_optical_flow``, :715-724).
+    ``config.run(movie)`` executes the solve with these settings."""
 
     delta_x: float = 1.0
     delta_t: float = 1.0
@@ -182,11 +183,32 @@ class VariationalConfig:
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     dtype: Any = None  # None -> float32 on TPU, float64 if x64 enabled
 
+    def run(self, movie) -> "FlowResult":
+        """Run the variational solve on ``movie`` with this preset."""
+        from opticalflow_tpu.flow.variational import variational_optical_flow
+
+        return variational_optical_flow(
+            movie,
+            delta_x=self.delta_x,
+            delta_t=self.delta_t,
+            speed_alpha=self.speed_alpha,
+            remodelling_alpha=self.remodelling_alpha,
+            smoothing_sigma=self.smoothing_sigma,
+            initial_v_x=self.initial_v_x,
+            initial_v_y=self.initial_v_y,
+            initial_remodelling=self.initial_remodelling,
+            dy_mode=self.dy_mode,
+            warm_start=self.warm_start,
+            solver=self.solver,
+            dtype=self.dtype,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class BoxFlowConfig:
-    """Configuration for the box-method (Vig et al. 2016) flow
-    (mirrors ref ``conduct_optical_flow``, :159)."""
+    """Reusable experiment preset for the box-method (Vig et al. 2016)
+    flow (mirrors ref ``conduct_optical_flow``, :159).
+    ``config.run(movie)`` executes the flow with these settings."""
 
     boxsize: int = 15
     delta_x: float = 1.0
@@ -194,3 +216,17 @@ class BoxFlowConfig:
     smoothing_sigma: Optional[float] = None
     background: Optional[float] = None
     include_remodelling: bool = False
+
+    def run(self, movie) -> "FlowResult":
+        """Run the box-method flow on ``movie`` with this preset."""
+        from opticalflow_tpu.flow.boxflow import conduct_optical_flow
+
+        return conduct_optical_flow(
+            movie,
+            boxsize=self.boxsize,
+            delta_x=self.delta_x,
+            delta_t=self.delta_t,
+            smoothing_sigma=self.smoothing_sigma,
+            background=self.background,
+            include_remodelling=self.include_remodelling,
+        )

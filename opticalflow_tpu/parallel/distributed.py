@@ -124,8 +124,13 @@ def distributed_variational_solve(
 
     ``local_pairs`` is ``(prev_frames, cur_frames)`` with shape
     ``(local_n_pairs, X, Y)`` each — the pairs this host contributes.
-    The global batch is the concatenation over processes in rank order;
-    every process must contribute the same count (pad if needed).
+    The global batch is the concatenation over processes in rank order.
+    Per-process counts may differ and need not align with the mesh: each
+    process's batch is padded with zero frames (which solve trivially in
+    O(1) iterations) up to the world-wide maximum rounded to this
+    process's frame-axis row count, and the padding is sliced off before
+    returning.  The world maximum is agreed via a host-level allgather,
+    so no caller-side coordination is needed.
 
     Returns ``(local_u, infos)`` where ``local_u`` is the
     ``(local_n_pairs, 3, X, Y)`` solution block belonging to this
@@ -134,6 +139,7 @@ def distributed_variational_solve(
     """
     import jax
     import jax.numpy as jnp
+    from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec
 
     from opticalflow_tpu.core.types import SolverConfig
@@ -147,7 +153,25 @@ def distributed_variational_solve(
 
     prev_local = np.asarray(local_pairs[0], dtype)
     cur_local = np.asarray(local_pairs[1], dtype)
-    n_local, dim_x, dim_y = prev_local.shape
+    n_pairs_in, dim_x, dim_y = prev_local.shape
+
+    # Agree on a common per-process padded count: every process must
+    # contribute the same number of frame-axis rows to the global array,
+    # and each row block must be whole (make_array_from_process_local_data
+    # fails with an opaque shape error otherwise).
+    frames_rows_local = max(
+        1, mesh.shape["frames"] // jax.process_count()
+    )
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray([n_pairs_in], np.int64))
+    ).reshape(-1)
+    target = int(np.max(counts))
+    target = -(-target // frames_rows_local) * frames_rows_local  # ceil-round
+    if target > n_pairs_in:
+        pad = np.zeros((target - n_pairs_in, dim_x, dim_y), dtype)
+        prev_local = np.concatenate([prev_local, pad], axis=0)
+        cur_local = np.concatenate([cur_local, pad], axis=0)
+    n_local = target
     n_global = n_local * jax.process_count()
 
     sharding = _frames_sharding(mesh)
@@ -187,6 +211,6 @@ def distributed_variational_solve(
             blocks[s.index[0].start or 0] = np.asarray(s.data)
         return np.concatenate([blocks[k] for k in sorted(blocks)], axis=0)
 
-    local_u = local_block(all_u)
-    local_infos = {k: local_block(v) for k, v in infos.items()}
+    local_u = local_block(all_u)[:n_pairs_in]
+    local_infos = {k: local_block(v)[:n_pairs_in] for k, v in infos.items()}
     return local_u, local_infos

@@ -42,8 +42,11 @@ def main():
     movie = np.asarray(movie) * 100.0
     prev, cur = movie[:-1], movie[1:]
 
+    # Deliberately unequal split (rank 0: two pairs, rank 1: one) to
+    # exercise the automatic zero-pair padding + allgathered count
+    # agreement in distributed_variational_solve; pair 3 is unused.
     n_local = prev.shape[0] // world
-    sl = slice(rank * n_local, (rank + 1) * n_local)
+    sl = slice(rank * n_local, (rank + 1) * n_local - rank)
 
     # 2 local devices as (1 frame) x (1 x 2 tiles): the frames axis spans
     # exactly the two processes (DCN analogue) and each pair's image is

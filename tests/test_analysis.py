@@ -42,6 +42,30 @@ def test_batched_sweep_matches_serial(movie):
     assert batched["speed_means"].shape == (2, 1)
 
 
+def test_batched_sweep_through_pallas_kernel(movie, monkeypatch):
+    """Round-2 VERDICT hazard #5: on a TPU backend matvec 'auto' resolves
+    to the fused Pallas kernel, whose custom_vmap supports exactly one
+    batching level — the sweep must therefore run its (cell, pair) grid
+    as a single flat vmap axis.  Forces the kernel (interpret mode) on
+    the CPU mesh and checks parity with the XLA matvec."""
+    from opticalflow_tpu.ops import pallas_kernels as pk
+
+    monkeypatch.setattr(pk, "INTERPRET", True)
+    m, delta_x = movie
+    alphas_s = np.array([200.0, 1000.0])
+    alphas_r = np.array([500.0])
+    kwargs = dict(delta_x=delta_x, dtype=np.float32)
+    got = vary_regularisation(m, alphas_s, alphas_r, batched=True,
+                              solver=SolverConfig(matvec="pallas"), **kwargs)
+    ref = vary_regularisation(m, alphas_s, alphas_r, batched=True,
+                              solver=SolverConfig(matvec="xla"), **kwargs)
+    np.testing.assert_allclose(got["speed_means"], ref["speed_means"],
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(got["remodelling_means"],
+                               ref["remodelling_means"], rtol=1e-2, atol=1e-6)
+    assert got["converged"].all()
+
+
 def test_sweep_saves_and_plots(movie, tmp_path):
     m, delta_x = movie
     result = vary_regularisation(

@@ -68,9 +68,11 @@ def test_two_process_distributed_solve_matches_single(tmp_path):
     assert int(r0["global_devices"]) == 4
     assert r0["converged"].all() and r1["converged"].all()
 
-    # each process owns exactly its half of the frame pairs
+    # unequal contribution (2 pairs vs 1): the padding lane must be
+    # sliced off before return, so each process gets back exactly what
+    # it put in
     assert r0["local_u"].shape[0] == 2
-    assert r1["local_u"].shape[0] == 2
+    assert r1["local_u"].shape[0] == 1
     all_u = np.concatenate([r0["local_u"], r1["local_u"]], axis=0)
 
     # single-process reference (this pytest process, virtual 8-dev mesh)
@@ -93,4 +95,4 @@ def test_two_process_distributed_solve_matches_single(tmp_path):
     )
     # cross-process reduction order differs from single-device -> agreement
     # to solver tolerance, not bitwise (same bound as tests/test_parallel.py)
-    np.testing.assert_allclose(all_u, np.asarray(u_ref), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(all_u, np.asarray(u_ref)[:3], rtol=1e-3, atol=1e-4)
