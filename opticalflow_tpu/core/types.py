@@ -146,13 +146,16 @@ class SolverConfig:
     # the solver's stagnation guard returns the best iterate instead of
     # looping to max_iterations when a workload cannot reach the floor).
     dtype_tol_floor: float = 300.0
-    # Iterative-refinement steps after the main solve: each recomputes the
-    # true residual in double-float compensated arithmetic (ops.df32 —
-    # f64-quality residual at VPU cost; plain f32 evaluation noise floors
-    # the attainable residual at ~2e-4 relative) and solves a correction
-    # system to `refinement_rtol` with the same preconditioned matvec.
-    # See flow.variational / bench.py for measured EPE impact.
-    refinement_restarts: int = 2
+    # Maximum iterative-refinement steps after the main solve: each
+    # recomputes the true residual in double-float compensated arithmetic
+    # (ops.df32 — f64-quality residual at VPU cost; plain f32 evaluation
+    # noise floors the attainable residual at ~2e-4 relative) and solves a
+    # correction system to `refinement_rtol` with the same preconditioned
+    # matvec.  The loop is adaptive: it exits as soon as the df32 true
+    # residual meets the floored tolerance (typically 1-2 steps; stalled /
+    # breakdown pairs take more — each step doubles as a BiCGStab
+    # restart).  See flow.variational / bench.py for measured EPE impact.
+    refinement_restarts: int = 8
     refinement_rtol: float = 0.2
     # Matvec implementation: 'auto' picks the fused Pallas kernel on a TPU
     # backend when the image width fits its tiling, else the XLA stencil;

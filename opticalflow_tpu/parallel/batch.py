@@ -80,7 +80,7 @@ def sharded_variational_solve(
     flow.variational.variational_optical_flow for the single-chip
     equivalent).
     """
-    solver = solver or SolverConfig(preconditioner="block_jacobi")
+    solver = solver or SolverConfig()  # default: multigrid preconditioner
     if mesh is None:
         mesh = mesh_lib.make_mesh()
     movie = jnp.asarray(movie, dtype=dtype)

@@ -145,7 +145,7 @@ def distributed_variational_solve(
     from opticalflow_tpu.core.types import SolverConfig
     from opticalflow_tpu.parallel.batch import _batched_pair_solve
 
-    solver = solver or SolverConfig(preconditioner="block_jacobi")
+    solver = solver or SolverConfig()  # default: multigrid preconditioner
     if mesh is None:
         mesh = multihost_mesh()
     if dtype is None:

@@ -113,11 +113,17 @@ def probe_stencil(matvec: Callable, m: int, n: int, dtype) -> jnp.ndarray:
     jj = jnp.arange(n)[None, :]
 
     combs = []
+    zero = jnp.zeros((m, n), dtype=dtype)
     for q in range(3):
         for si in range(3):
             for sj in range(3):
                 plane = ((ii % 3 == si) & (jj % 3 == sj)).astype(dtype)
-                comb = jnp.zeros((3, m, n), dtype=dtype).at[q].set(plane)
+                # field q = comb plane, others zero — via stack, NOT
+                # ``zeros.at[q].set``: the SPMD partitioner miscompiles
+                # scatters on sharded arrays (see ops.elop
+                # _extend_with_corners), and this code must stay
+                # GSPMD-safe for the sharded multigrid path
+                comb = jnp.stack([plane if k == q else zero for k in range(3)])
                 combs.append(comb)
     combs = jnp.stack(combs)  # (27, 3, m, n)
     ys = jax.vmap(matvec)(combs)  # (27, 3, m, n)

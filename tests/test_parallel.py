@@ -54,6 +54,34 @@ def test_sharded_variational_matches_single_device(movie):
     assert np.asarray(infos["converged"]).all()
 
 
+def test_sharded_multigrid_parity_and_iterations(movie):
+    """Round-2 VERDICT #3: the sharded path must keep the multigrid
+    preconditioner (now the default) instead of degrading to block-Jacobi
+    — comb probing, the Galerkin hierarchy, and the coarse LU must all
+    compile and converge under GSPMD, in production f32, at block-Jacobi
+    counts' fraction (~25 vs 180-550 iterations)."""
+    mesh = mesh_lib.make_mesh(jax.devices()[:8], frames=2, tx=2, ty=2)
+    u_s, infos = sharded_variational_solve(
+        movie, mesh=mesh, speed_alpha=500.0, remodelling_alpha=500.0,
+        solver=SolverConfig(preconditioner="multigrid"), dtype=jnp.float32,
+    )
+    single_mesh = mesh_lib.make_mesh(jax.devices()[:1], frames=1, tx=1, ty=1)
+    u_1, infos_1 = sharded_variational_solve(
+        movie, mesh=single_mesh, speed_alpha=500.0, remodelling_alpha=500.0,
+        solver=SolverConfig(preconditioner="multigrid"), dtype=jnp.float32,
+    )
+    assert np.asarray(infos["converged"]).all()
+    assert np.asarray(infos_1["converged"]).all()
+    # multigrid-class iteration counts (incl. adaptive refinement solves),
+    # nowhere near block-Jacobi's 180-550 on the same systems
+    assert int(np.asarray(infos["iterations"]).max()) < 120
+    # f32 Krylov paths diverge with reduction order; both runs satisfy the
+    # df32 true-residual tolerance, so solutions agree to solve tolerance
+    np.testing.assert_allclose(
+        np.asarray(u_s), np.asarray(u_1), rtol=5e-3, atol=5e-4
+    )
+
+
 def test_sharded_box_flow_matches_single_device(movie):
     from opticalflow_tpu.flow.boxflow import box_flow
 
