@@ -158,8 +158,10 @@ class SolverConfig:
     refinement_restarts: int = 8
     refinement_rtol: float = 0.2
     # Matvec implementation: 'auto' picks the fused Pallas kernel on a TPU
-    # backend when the image width fits its tiling, else the XLA stencil;
-    # the sharded (GSPMD) path always runs 'xla'.
+    # backend when the image width fits its tiling, else the XLA stencil.
+    # In the sharded paths, 'auto' resolves to the GSPMD-partitioned XLA
+    # stencil and an explicit 'pallas' runs the fused kernel as a
+    # shard_map with ppermute halo exchange (parallel.pallas_spmd).
     matvec: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
 

@@ -71,7 +71,9 @@ def _resolve_matvec_impl(matvec_impl: str, n: int, dtype) -> str:
     faster than the XLA stencil end-to-end at both 256^2 and 1024^2 —
     see bench.py); anything else (CPU tests, x64 oracle runs, very wide
     images) runs the XLA stencil.  The sharded GSPMD path passes ``'xla'``
-    explicitly (the kernel has no SPMD partitioning rule).
+    plus a ``matvec_factory`` when the kernel should run under spatial
+    tiling (shard_map + halo exchange, parallel.pallas_spmd — the kernel
+    itself has no GSPMD partitioning rule).
     """
     if matvec_impl != "auto":
         return matvec_impl
@@ -106,6 +108,7 @@ def solve_frame_pair(
     matvec_impl: str = "auto",
     tol_floor: float = 300.0,
     refinement_rtol: float = 0.2,
+    matvec_factory=None,
 ):
     """Solve the coupled EL system for one frame pair (pixel units).
 
@@ -118,7 +121,9 @@ def solve_frame_pair(
     Krylov state kept in the kernel's aligned layouts — see
     ops.pallas_kernels), or ``'auto'`` (pallas on a TPU backend for f32
     images whose width fits the kernel tiling; supports one level of
-    vmap — the sharded GSPMD path must pass ``'xla'``).
+    vmap).  Under spatial tiling the kernel runs as a shard_map with
+    ppermute halo exchange instead — the sharded path passes
+    ``matvec_factory`` (parallel.pallas_spmd) and ``matvec_impl='xla'``.
 
     Intensity normalisation: the EL system built from ``(I/s,
     speed_alpha/s^2, remodelling_alpha)`` has the exact solution
@@ -152,9 +157,24 @@ def solve_frame_pair(
     u0_red = u0[:, 1:-1, 1:-1]
     m, n = b_red.shape[1], b_red.shape[2]
 
-    use_pallas = _resolve_matvec_impl(matvec_impl, n, b_red.dtype) == "pallas"
+    use_pallas = (
+        matvec_factory is None
+        and _resolve_matvec_impl(matvec_impl, n, b_red.dtype) == "pallas"
+    )
 
-    if use_pallas:
+    if matvec_factory is not None:
+        # Sharded-SPMD fused kernel (parallel.pallas_spmd): the factory
+        # closes over the mesh and returns an interior-layout matvec that
+        # shard_maps the fused Pallas kernel with ppermute halo exchange.
+        # Krylov state stays in interior layout (the GSPMD path's
+        # layouts); only the matvec drops into manual SPMD.
+        pops = None
+        matvec = matvec_factory(
+            previous_frame, speed_alpha, remodelling_alpha, dy_mode
+        )
+        b_K = b_red
+        x0_K = u0_red
+    elif use_pallas:
         # Padded-state fused-kernel path: BiCGStab's solution-space vectors
         # live in the kernel's mirror-extended aligned layout (P) and its
         # residual-space vectors in the zero-padded interior layout (R),
@@ -188,6 +208,7 @@ def solve_frame_pair(
         # v_cycle_padded, coarse levels stay on the (small) XLA path.
         hierarchy = multigrid.setup(
             xla_matvec, elop.diag_blocks(pair.coeffs), m, n, b_red.dtype,
+            fine_smoother_matvec=matvec if matvec_factory is not None else None,
         )
         if use_pallas:
             precond = functools.partial(multigrid.v_cycle_padded, hierarchy, pops)

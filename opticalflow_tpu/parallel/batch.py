@@ -31,7 +31,8 @@ from opticalflow_tpu.parallel import mesh as mesh_lib
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dy_mode", "method", "preconditioner", "max_iterations", "high_precision_reductions",
+        "dy_mode", "method", "preconditioner", "max_iterations",
+        "high_precision_reductions", "matvec_impl", "mesh",
     ),
 )
 def _batched_pair_solve(
@@ -43,10 +44,22 @@ def _batched_pair_solve(
     rtol,
     dy_mode="compat",
     method="bicgstab",
-    preconditioner="block_jacobi",
+    preconditioner="multigrid",
     max_iterations=1000,
     high_precision_reductions=True,
+    matvec_impl="xla",
+    mesh=None,
 ):
+    # 'xla'/'auto': GSPMD partitions the stencil matvec automatically.
+    # 'pallas': the fused kernel has no GSPMD partitioning rule, so it runs
+    # as an explicit shard_map with ppermute halo exchange over (tx, ty)
+    # (parallel.pallas_spmd); the frame-pair vmap axis is then pinned to
+    # the 'frames' mesh axis via spmd_axis_name.
+    factory = None
+    if matvec_impl == "pallas":
+        from opticalflow_tpu.parallel import pallas_spmd
+
+        factory = functools.partial(pallas_spmd.make_sharded_kernel_matvec, mesh)
     solver = functools.partial(
         solve_frame_pair,
         speed_alpha=speed_alpha,
@@ -57,11 +70,13 @@ def _batched_pair_solve(
         rtol=rtol,
         max_iterations=max_iterations,
         high_precision_reductions=high_precision_reductions,
-        # GSPMD partitions this jit over the mesh; the Pallas kernel has no
-        # partitioning rule, so the sharded path always runs the XLA matvec
         matvec_impl="xla",
+        matvec_factory=factory,
     )
-    return jax.vmap(lambda p, c: solver(p, c, u_init))(prev_frames, cur_frames)
+    vmap_kwargs = {"spmd_axis_name": "frames"} if factory is not None else {}
+    return jax.vmap(lambda p, c: solver(p, c, u_init), **vmap_kwargs)(
+        prev_frames, cur_frames
+    )
 
 
 def sharded_variational_solve(
@@ -107,6 +122,8 @@ def sharded_variational_solve(
         preconditioner=solver.preconditioner,
         max_iterations=solver.max_iterations,
         high_precision_reductions=solver.high_precision_reductions,
+        matvec_impl="pallas" if solver.matvec == "pallas" else "xla",
+        mesh=mesh,
     )
     return all_u, infos
 

@@ -195,6 +195,8 @@ def distributed_variational_solve(
         preconditioner=solver.preconditioner,
         max_iterations=solver.max_iterations,
         high_precision_reductions=solver.high_precision_reductions,
+        matvec_impl="pallas" if solver.matvec == "pallas" else "xla",
+        mesh=mesh,
     )
 
     # Re-shard outputs to frames-only so every addressable shard is a
