@@ -22,6 +22,14 @@ subcommands in :func:`main`):
 * ``dual-channel``         — joint Rho/actin comparison (compare_rho_and_actin.py:616-767)
 * ``piv-compare``          — PIV vs flow comparison (analyse_short_timeinterval_data.py:505-638)
 * ``ground-truth``         — hand-clicked displacement validation (:128-239, 640-745)
+* ``intensity-histograms`` — raw+blurred intensity histograms w/ thresholds (compare_rho_and_actin.py:98-119, 200-226)
+* ``threshold-movies``     — thresholded/CLAHE channel overlay movies (:228-300)
+* ``coexpression``         — red/green coexpression movie + speed histograms (:772-849)
+* ``vortex-pair``          — figure-producing vortex-pair experiment (analyse_variational_optical_flow.py:114-179)
+
+``variational``, ``piv-compare`` and ``ground-truth`` accept
+``--correct-intensity`` to apply the global illumination-change
+correction before solving (analyse_short_timeinterval_data.py:395-469).
 """
 
 from __future__ import annotations
@@ -113,14 +121,23 @@ def run_variational(movie_path: str, output_dir: str, delta_x: float = 1.0,
                     delta_t: float = 1.0, speed_alpha: float = 1000.0,
                     remodelling_alpha: float = 1000.0,
                     smoothing_sigma: Optional[float] = None,
-                    frames: Optional[str] = None, downsample: Optional[float] = None):
+                    frames: Optional[str] = None, downsample: Optional[float] = None,
+                    correct_intensity: bool = False):
     """Full variational run on a movie file/folder (the
     apply_to_bischoff_data workload, ref analyse_variational_optical_flow.py:201-272,
-    with optional INTER_AREA downsampling, :526-615)."""
+    with optional INTER_AREA downsampling, :526-615).
+
+    ``correct_intensity`` applies the global illumination-change
+    correction before solving, matching the reference's corrected-data
+    variational runs (ref analyse_short_timeinterval_data.py:395-469)."""
     movie = _load_movie(movie_path)
     if frames:
         start, stop = (int(x) for x in frames.split(":"))
         movie = movie[start:stop]
+    if correct_intensity:
+        from opticalflow_tpu.analysis.statistics import correct_intensity_change
+
+        movie = correct_intensity_change(movie)
     if downsample:
         movie = np.asarray(downsample_movie(movie, downsample))
         delta_x = delta_x / downsample
@@ -293,24 +310,36 @@ def run_dual_channel(movie_path_a: str, movie_path_b: str, output_dir: str,
 
 
 def run_piv_compare(piv_mat_path: str, movie_path: str, output_dir: str,
-                    method: str = "farneback", intensity_threshold: float = 10.0):
+                    method: str = "farneback", intensity_threshold: float = 10.0,
+                    correct_intensity: bool = False):
     """PIV-vs-flow comparison (analyse_short_timeinterval_data.py:505-638)."""
     from opticalflow_tpu.analysis.workflows import run_piv_comparison
 
+    movie = _load_movie(movie_path)
+    if correct_intensity:
+        from opticalflow_tpu.analysis.statistics import correct_intensity_change
+
+        movie = correct_intensity_change(movie)
     return run_piv_comparison(
-        piv_mat_path, _load_movie(movie_path), output_dir, method=method,
+        piv_mat_path, movie, output_dir, method=method,
         intensity_threshold=intensity_threshold,
     )
 
 
 def run_ground_truth(movie_path: str, measurements_path: str, output_dir: str,
-                     method: str = "farneback", frame: int = 8):
+                     method: str = "farneback", frame: int = 8,
+                     correct_intensity: bool = False):
     """Hand-clicked displacement validation
     (analyse_short_timeinterval_data.py:128-239, 640-745)."""
     from opticalflow_tpu.analysis.workflows import run_ground_truth_validation
 
+    movie = _load_movie(movie_path)
+    if correct_intensity:
+        from opticalflow_tpu.analysis.statistics import correct_intensity_change
+
+        movie = correct_intensity_change(movie)
     return run_ground_truth_validation(
-        _load_movie(movie_path), measurements_path, output_dir,
+        movie, measurements_path, output_dir,
         method=method, frame=frame,
     )
 
@@ -327,6 +356,184 @@ def run_downsampled(movie_path: str, output_dir: str, delta_x: float = 1.0,
         speed_alpha=speed_alpha, remodelling_alpha=remodelling_alpha,
         smoothing_sigma=smoothing_sigma, frames=frames, downsample=factor,
     )
+
+
+def run_intensity_analysis(movie_path_a: str, movie_path_b: Optional[str] = None,
+                           output_dir: str = "output", sigma_a: float = 1.3,
+                           sigma_b: float = 1.0, threshold_a: float = 17.0,
+                           threshold_b: float = 18.0, label_a: str = "Actin",
+                           label_b: str = "Rho"):
+    """Raw + blurred per-channel intensity histograms with the
+    mode-separating thresholds (ref compare_rho_and_actin.py:98-119
+    ``investigate_intensities`` + :200-226
+    ``investigate_intensity_thresholds``)."""
+    from opticalflow_tpu.ops.blur import blur_movie
+    from opticalflow_tpu.viz.plots import plot_intensity_histograms
+
+    movies = [_load_movie(movie_path_a)]
+    labels = [label_a]
+    sigmas = [sigma_a]
+    thresholds = [threshold_a]
+    if movie_path_b is not None:
+        movies.append(_load_movie(movie_path_b))
+        labels.append(label_b)
+        sigmas.append(sigma_b)
+        thresholds.append(threshold_b)
+
+    os.makedirs(output_dir, exist_ok=True)
+    plot_intensity_histograms(
+        movies, labels,
+        os.path.join(output_dir, "both_intensity_histograms.pdf"),
+        xlim=(-2, 120),
+    )
+    blurred = [np.asarray(blur_movie(m, smoothing_sigma=s))
+               for m, s in zip(movies, sigmas)]
+    plot_intensity_histograms(
+        blurred, labels,
+        os.path.join(output_dir, "both_intensity_histograms_blurred.pdf"),
+        thresholds=thresholds, xlim=(0, 100),
+    )
+    for movie, label in zip(movies, labels):
+        print(f"{label}: {len(np.unique(np.asarray(movie)))} unique "
+              f"intensity values")
+    return blurred
+
+
+def run_threshold_movies(movie_path_a: str, movie_path_b: Optional[str] = None,
+                         output_dir: str = "output", threshold: float = 17.5,
+                         sigma_a: float = 1.3, sigma_b: float = 1.0,
+                         label_a: str = "Actin", label_b: str = "Rho",
+                         clahe: Optional[float] = None, adaptive: bool = False,
+                         delta_x: float = 0.0913):
+    """Thresholded channel overlay movie: below-threshold pixels render
+    grayscale, the rest green; optional CLAHE pre-normalisation and
+    adaptive (mean-C) thresholding; plus the blurred histograms
+    (ref compare_rho_and_actin.py:228-300 ``make_thresholded_movies``)."""
+    from opticalflow_tpu.ops.blur import blur_movie
+    from opticalflow_tpu.ops.threshold import apply_adaptive_threshold
+    from opticalflow_tpu.viz.plots import (
+        make_channel_movie, plot_intensity_histograms, tint_below_mask,
+    )
+
+    movies = [_load_movie(movie_path_a)]
+    labels = [label_a]
+    sigmas = [sigma_a]
+    if movie_path_b is not None:
+        movies.append(_load_movie(movie_path_b))
+        labels.append(label_b)
+        sigmas.append(sigma_b)
+
+    clahe_string = ""
+    if clahe is not None:
+        from opticalflow_tpu.ops.clahe import apply_clahe
+
+        movies = [np.asarray(apply_clahe(m, clipLimit=clahe)) for m in movies]
+        movies = [m / np.max(m) * 255.0 for m in movies]
+        clahe_string = "_w_clahe"
+
+    blurred = [np.asarray(blur_movie(m, smoothing_sigma=s))
+               for m, s in zip(movies, sigmas)]
+    if adaptive:
+        masks = [np.asarray(apply_adaptive_threshold(b, window_size=151,
+                                                     threshold=-5))
+                 for b in blurred]
+    else:
+        # fixed threshold masks on the raw movie (ref :258-259)
+        masks = [np.asarray(m) < threshold for m in movies]
+
+    rgb = [tint_below_mask(m, mask) for m, mask in zip(movies, masks)]
+    os.makedirs(output_dir, exist_ok=True)
+    name = (f"joint_movie_thresholded_threshold_{threshold:.2f}"
+            f"_sigmas_{sigma_a:.2f}_{sigma_b:.2f}{clahe_string}.mp4")
+    make_channel_movie(rgb, labels, delta_x, os.path.join(output_dir, name))
+    plot_intensity_histograms(
+        blurred, labels,
+        os.path.join(output_dir,
+                     f"both_intensity_histograms_blurred{clahe_string}.pdf"),
+        thresholds=[threshold] * len(blurred),
+    )
+    return masks
+
+
+def run_coexpression(movie_path_a: str, movie_path_b: str,
+                     output_dir: str = "output", normalised: bool = False,
+                     flow_result_path: Optional[str] = None,
+                     label: str = "Actin"):
+    """Coexpression extras (ref compare_rho_and_actin.py:772-849): joint
+    red/green coexpression movie of the two channels, plus — when a saved
+    flow result is given — global and per-frame speed histograms with the
+    binned table exported (``make_actin_speed_histograms``)."""
+    from opticalflow_tpu.viz.plots import (
+        make_coexpression_movie, plot_speed_histograms,
+    )
+
+    movie_a = _load_movie(movie_path_a)
+    movie_b = _load_movie(movie_path_b)
+    os.makedirs(output_dir, exist_ok=True)
+    suffix = "normalised" if normalised else "unnormalised"
+    make_coexpression_movie(
+        movie_a, movie_b,
+        os.path.join(output_dir, f"coexpression_{suffix}.mp4"),
+        normalised=normalised,
+    )
+    if flow_result_path is not None:
+        result = FlowResult.load(flow_result_path)
+        plot_speed_histograms(result, output_dir, label=label)
+    return None
+
+
+def run_vortex_pair(output_dir: str = "output", dimension: int = 128,
+                    peak_speed: float = 0.5, speed_alpha: float = 500.0,
+                    remodelling_alpha: float = 500.0):
+    """Figure-producing vortex-pair experiment (ref
+    analyse_variational_optical_flow.py:114-179
+    ``reproduce_matlab_example_vortex_pair`` — its .tif input is stripped
+    from the mirror, so the movie is rebuilt analytically; the
+    quantitative version of this workload runs as a test,
+    tests/test_physics.py)."""
+    from opticalflow_tpu.core.synth import make_vortex_pair_movie
+    from opticalflow_tpu.viz.plots import make_velocity_overlay_movie
+
+    movie, v_true_x, v_true_y = make_vortex_pair_movie(
+        n_frames=3, dimension=dimension, peak_speed=peak_speed,
+    )
+    movie = np.asarray(movie)  # texture already ~100 intensity units
+    result = variational_optical_flow(
+        movie, speed_alpha=speed_alpha, remodelling_alpha=remodelling_alpha,
+        dy_mode="fixed",
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    result.save(os.path.join(output_dir, "vortex_pair_result.npy"))
+    make_velocity_overlay_movie(
+        result, os.path.join(output_dir, "vortex_pair_overlay.mp4"),
+        arrow_boxsize=max(4, dimension // 16), autoscale=True, dpi=150,
+    )
+
+    import matplotlib.pyplot as plt
+
+    vx = np.asarray(result["v_x"][0])
+    vy = np.asarray(result["v_y"][0])
+    tx, ty = np.asarray(v_true_x), np.asarray(v_true_y)
+    cos = float(
+        np.sum(vx * tx + vy * ty)
+        / max(np.sqrt(np.sum(vx**2 + vy**2) * np.sum(tx**2 + ty**2)), 1e-30)
+    )
+    plt.figure(figsize=(4.5, 2.5), constrained_layout=True)
+    for k, (field, title) in enumerate([((vx, vy), "inferred"),
+                                        ((tx, ty), "true")]):
+        plt.subplot(1, 2, k + 1)
+        plt.imshow(np.sqrt(field[0] ** 2 + field[1] ** 2), cmap="viridis")
+        step = max(1, dimension // 16)
+        sl = (slice(step // 2, None, step),) * 2
+        plt.quiver(*np.meshgrid(*(np.arange(dimension)[s] for s in sl),
+                                indexing="xy"),
+                   field[1][sl], -field[0][sl], color="magenta")
+        plt.title(f"{title} |v|")
+    plt.suptitle(f"flow-alignment cosine: {cos:.4f}")
+    plt.savefig(os.path.join(output_dir, "vortex_pair_comparison.pdf"))
+    plt.close()
+    print(f"vortex-pair alignment cosine: {cos:.4f}")
+    return result, cos
 
 
 def main(argv=None):
@@ -385,6 +592,7 @@ def main(argv=None):
     p.add_argument("--method", default="farneback",
                    choices=("box", "variational", "farneback"))
     p.add_argument("--intensity-threshold", type=float, default=10.0)
+    p.add_argument("--correct-intensity", action="store_true")
 
     p = sub.add_parser("ground-truth")
     p.add_argument("movie_path")
@@ -393,6 +601,46 @@ def main(argv=None):
     p.add_argument("--method", default="farneback",
                    choices=("box", "variational", "farneback"))
     p.add_argument("--frame", type=int, default=8)
+    p.add_argument("--correct-intensity", action="store_true")
+
+    p = sub.add_parser("intensity-histograms")
+    p.add_argument("movie_path_a")
+    p.add_argument("movie_path_b", nargs="?", default=None)
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--sigma-a", type=float, default=1.3)
+    p.add_argument("--sigma-b", type=float, default=1.0)
+    p.add_argument("--threshold-a", type=float, default=17.0)
+    p.add_argument("--threshold-b", type=float, default=18.0)
+    p.add_argument("--label-a", default="Actin")
+    p.add_argument("--label-b", default="Rho")
+
+    p = sub.add_parser("threshold-movies")
+    p.add_argument("movie_path_a")
+    p.add_argument("movie_path_b", nargs="?", default=None)
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--threshold", type=float, default=17.5)
+    p.add_argument("--sigma-a", type=float, default=1.3)
+    p.add_argument("--sigma-b", type=float, default=1.0)
+    p.add_argument("--label-a", default="Actin")
+    p.add_argument("--label-b", default="Rho")
+    p.add_argument("--clahe", type=float, default=None)
+    p.add_argument("--adaptive", action="store_true")
+    p.add_argument("--delta-x", type=float, default=0.0913)
+
+    p = sub.add_parser("coexpression")
+    p.add_argument("movie_path_a")
+    p.add_argument("movie_path_b")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--normalised", action="store_true")
+    p.add_argument("--flow-result-path", default=None)
+    p.add_argument("--label", default="Actin")
+
+    p = sub.add_parser("vortex-pair")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--dimension", type=int, default=128)
+    p.add_argument("--peak-speed", type=float, default=0.5)
+    p.add_argument("--speed-alpha", type=float, default=500.0)
+    p.add_argument("--remodelling-alpha", type=float, default=500.0)
 
     p = sub.add_parser("downsampled")
     p.add_argument("movie_path")
@@ -417,6 +665,7 @@ def main(argv=None):
             p.add_argument("--remodelling-alpha", type=float, default=1000.0)
             p.add_argument("--smoothing-sigma", type=float, default=None)
             p.add_argument("--downsample", type=float, default=None)
+            p.add_argument("--correct-intensity", action="store_true")
         if name == "box":
             p.add_argument("--boxsize", type=int, default=31)
             p.add_argument("--smoothing-sigma", type=float, default=3.0)
@@ -445,6 +694,10 @@ def main(argv=None):
         "piv-compare": run_piv_compare,
         "ground-truth": run_ground_truth,
         "downsampled": run_downsampled,
+        "intensity-histograms": run_intensity_analysis,
+        "threshold-movies": run_threshold_movies,
+        "coexpression": run_coexpression,
+        "vortex-pair": run_vortex_pair,
     }[experiment]
     kwargs = {k.replace("-", "_"): v for k, v in args.items()}
     return fn(**kwargs)

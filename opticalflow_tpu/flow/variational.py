@@ -282,7 +282,13 @@ def solve_frame_pair(
 
         def ref_cond(state):
             step, _, _, _, r_norm, _ = state
-            return jnp.logical_and(step < refinement_restarts, r_norm > tol_main)
+            # refine one contraction beyond the reported tolerance (0.25x)
+            # so the EPE keeps margin under the <1e-3 px target instead of
+            # landing exactly on the tolerance boundary (costs ~1 cheap
+            # correction solve; measured 34 pairs/s either way at 256^2)
+            return jnp.logical_and(
+                step < refinement_restarts, r_norm > 0.25 * tol_main
+            )
 
         def ref_body(state):
             step, x_hi, x_lo, r_hi, r_norm, iters = state

@@ -502,3 +502,137 @@ def plot_parameter_sweep_summary(sweep, filename_start, parameter_key, dpi=300):
     plt.legend(fontsize=6)
     plt.savefig(filename_start + "_local_velocities.pdf", dpi=dpi)
     plt.close()
+
+
+def plot_intensity_histograms(movies, labels, filename, thresholds=None,
+                              value_range=(0.0, 255.0), bins=255, xlim=None):
+    """Side-by-side per-channel intensity histograms, optionally with the
+    mode-separating threshold marked (ref compare_rho_and_actin.py:98-119
+    ``investigate_intensities`` and :200-226
+    ``investigate_intensity_thresholds``)."""
+    n = len(movies)
+    plt.figure(figsize=(2.25 * n, 2.5), constrained_layout=True)
+    for k, (movie, label) in enumerate(zip(movies, labels)):
+        plt.subplot(1, n, k + 1)
+        plt.hist(np.asarray(movie).ravel(), bins=bins, range=value_range)
+        if thresholds is not None and thresholds[k] is not None:
+            plt.axvline(thresholds[k], color="black",
+                        label=f"Intensity = {thresholds[k]:g}")
+            plt.legend()
+        plt.xlabel(f"{label} intensity value")
+        plt.ylabel("Number of pixels")
+        if xlim is not None:
+            plt.xlim(*xlim)
+        plt.gca().ticklabel_format(scilimits=(-3, 3))
+    plt.savefig(filename)
+    plt.close()
+
+
+def tint_below_mask(movie, mask):
+    """(frames, X, Y) + boolean mask -> RGB movie on the reference's
+    inverted-grayscale convention: unmasked pixels render green, masked
+    pixels grayscale (ref compare_rho_and_actin.py:257-270)."""
+    movie = np.asarray(movie)
+    mask = np.asarray(mask)
+    rgb = np.zeros(movie.shape + (3,), dtype=int)
+    inv = 255 - movie
+    keep = ~mask
+    rgb[..., 1][keep] = inv[keep]
+    for c in range(3):
+        rgb[..., c][mask] = inv[mask]
+    return rgb
+
+
+def make_channel_movie(rgb_movies, labels, delta_x, filename, dpi=300):
+    """N-panel animation of RGB channel movies (thresholded overlays,
+    ref compare_rho_and_actin.py:271-281)."""
+    n = len(rgb_movies)
+    fig = plt.figure(figsize=(2.25 * n, 2.5), constrained_layout=True)
+
+    def animate(i):
+        for k, (mov, label) in enumerate(zip(rgb_movies, labels)):
+            plt.subplot(1, n, k + 1)
+            plt.title(label)
+            costum_imshow(mov[i], autoscale=False, cmap=None, delta_x=delta_x)
+
+    ani = FuncAnimation(fig, animate, frames=rgb_movies[0].shape[0])
+    _save_animation(ani, filename, dpi)
+    plt.close(fig)
+
+
+def make_coexpression_movie(movie_a, movie_b, filename, normalised=False,
+                            dpi=300):
+    """Joint two-channel RGB movie: channel A in red, channel B in green
+    (ref compare_rho_and_actin.py:772-797 ``make_coexpression_movie``;
+    the reference's ``normalised`` branch scales both channels by channel
+    A's maximum, reproduced)."""
+    movie_a = np.asarray(movie_a, dtype=float)
+    movie_b = np.asarray(movie_b, dtype=float)
+    if normalised:
+        scale = np.max(movie_a)
+        movie_a = movie_a / scale * 255.0
+        movie_b = movie_b / scale * 255.0
+    joint = np.zeros(movie_a.shape + (3,), dtype=int)
+    joint[..., 0] = np.round(movie_a)
+    joint[..., 1] = np.round(movie_b)
+    joint = np.clip(joint, 0, 255)
+
+    fig = plt.figure(figsize=(2.5, 2.5))
+
+    def animate(i):
+        plt.cla()
+        plt.imshow(joint[i], interpolation=None)
+        plt.gca().set_axis_off()
+        if i < 1:
+            plt.tight_layout()
+
+    ani = FuncAnimation(fig, animate, frames=joint.shape[0])
+    _save_animation(ani, filename, dpi)
+    plt.close(fig)
+
+
+def plot_speed_histograms(flow_result, output_dir, label="Actin", bins=50,
+                          dpi=300):
+    """Global + per-frame speed histograms of a flow result, with the
+    binned table exported for downstream use (ref
+    compare_rho_and_actin.py:798-849 ``make_actin_speed_histograms``; the
+    reference writes xlsx via pandas/openpyxl — openpyxl is not in this
+    image, so the same table goes to CSV)."""
+    speed = np.asarray(flow_result["speed"])
+    finite = speed[np.isfinite(speed)]
+    os.makedirs(output_dir, exist_ok=True)
+    slug = label.lower()
+
+    plt.figure()
+    plt.hist(finite.ravel(), bins=100, density=False)
+    plt.xlabel(f"{label} Speed [$\\mathrm{{\\mu m}}$/s]")
+    plt.ylabel("Number of Pixels")
+    plt.tight_layout()
+    plt.savefig(os.path.join(output_dir, f"{slug}_global_speed_histogram.pdf"))
+    plt.close()
+
+    hist0, bin_edges = np.histogram(
+        np.nan_to_num(speed[0]).ravel(), bins=bins
+    )
+    centers = 0.5 * (bin_edges[:-1] + bin_edges[1:])
+    columns = {"bin_center": centers, "frame_00": hist0}
+    for k in range(speed.shape[0]):
+        frame = np.nan_to_num(speed[k]).ravel()
+        hist, _ = np.histogram(frame, bins=bin_edges)
+        columns[f"frame_{k:02d}"] = hist
+        plt.figure()
+        plt.hist(frame, bins=bins, density=False)
+        plt.xlabel(f"{label} Speed [$\\mathrm{{\\mu m}}$/s]")
+        plt.ylabel("Number of Pixels")
+        plt.title(f"{label} speed frame {k}")
+        plt.tight_layout()
+        plt.savefig(os.path.join(
+            output_dir, f"{slug}_speed_histogram_frame_{k:02d}.png"), dpi=dpi)
+        plt.close()
+
+    table = np.column_stack(list(columns.values()))
+    np.savetxt(
+        os.path.join(output_dir, "speed_histograms.csv"), table,
+        delimiter=",", header=",".join(columns), comments="",
+    )
+    return columns

@@ -175,3 +175,105 @@ def test_ground_truth_workflow(tiny_movie_file, tmp_path):
     )
     assert comparison["relative_errors"].shape == (2,)
     assert os.path.exists(os.path.join(out, "velocity_validation.pdf"))
+
+
+def test_intensity_histograms_cli(tiny_movie_file, tmp_path):
+    path, _ = tiny_movie_file
+    out = str(tmp_path / "out")
+    drivers.main([
+        "intensity-histograms", path, path, "--output-dir", out,
+        "--threshold-a", "20", "--threshold-b", "25",
+    ])
+    assert os.path.exists(os.path.join(out, "both_intensity_histograms.pdf"))
+    assert os.path.exists(
+        os.path.join(out, "both_intensity_histograms_blurred.pdf"))
+
+
+def test_threshold_movies_cli(tiny_movie_file, tmp_path):
+    path, movie = tiny_movie_file
+    out = str(tmp_path / "out")
+    drivers.main([
+        "threshold-movies", path, path, "--output-dir", out,
+        "--threshold", "30",
+    ])
+    made = os.listdir(out)
+    assert any(f.startswith("joint_movie_thresholded") for f in made), made
+    # masks follow the reference's fixed-threshold semantics on raw frames
+    from opticalflow_tpu.analysis.drivers import run_threshold_movies
+
+    masks = run_threshold_movies(path, output_dir=out, threshold=30.0)
+    np.testing.assert_array_equal(
+        masks[0], np.asarray(movie, np.float64) < 30.0)
+
+
+def test_threshold_movies_adaptive_clahe_cli(tiny_movie_file, tmp_path):
+    path, _ = tiny_movie_file
+    out = str(tmp_path / "out")
+    drivers.main([
+        "threshold-movies", path, "--output-dir", out, "--adaptive",
+        "--clahe", "100",
+    ])
+    made = os.listdir(out)
+    assert any("_w_clahe" in f for f in made), made
+
+
+def test_coexpression_cli(tiny_movie_file, tmp_path):
+    path, movie = tiny_movie_file
+    out = str(tmp_path / "out")
+    # a saved flow result feeds the speed-histogram branch
+    from opticalflow_tpu.flow.boxflow import conduct_optical_flow
+
+    result = conduct_optical_flow(movie[:3], boxsize=7)
+    result_path = str(tmp_path / "flow.npy")
+    result.save(result_path)
+    drivers.main([
+        "coexpression", path, path, "--output-dir", out, "--normalised",
+        "--flow-result-path", result_path,
+    ])
+    made = os.listdir(out)
+    assert "coexpression_normalised.mp4" in made or \
+        "coexpression_normalised.gif" in made, made
+    assert "speed_histograms.csv" in made
+    assert "actin_global_speed_histogram.pdf" in made
+
+
+def test_vortex_pair_cli(tmp_path):
+    out = str(tmp_path / "out")
+    drivers.main(["vortex-pair", "--output-dir", out, "--dimension", "48"])
+    made = os.listdir(out)
+    assert "vortex_pair_comparison.pdf" in made
+    assert "vortex_pair_result.npy" in made
+
+
+def test_correct_intensity_flag_changes_flow(tmp_path):
+    """--correct-intensity (ref analyse_short_timeinterval_data.py:395-469):
+    on a movie with global illumination drift, the corrected variational
+    flow must differ from the raw one — the drift otherwise masquerades as
+    remodelling/flow."""
+    movie, _ = make_translating_blob_movie(
+        n_frames=4, dimension=32, width=10.0, sigma=2.5, v_x=0.2, v_y=0.1
+    )
+    movie = np.asarray(movie) * 200.0 + 30.0
+    drift = 20.0 * np.arange(movie.shape[0])[:, None, None]
+    drifted = movie + drift  # additive global brightening per frame
+
+    from PIL import Image
+
+    paths = {}
+    for name, m in (("clean", movie), ("drift", drifted)):
+        p = tmp_path / f"{name}.tif"
+        frames = [Image.fromarray(f.astype(np.float32), mode="F") for f in m]
+        frames[0].save(str(p), save_all=True, append_images=frames[1:])
+        paths[name] = str(p)
+
+    kwargs = dict(speed_alpha=500.0, remodelling_alpha=500.0)
+    raw = drivers.run_variational(paths["drift"], str(tmp_path / "raw"), **kwargs)
+    corrected = drivers.run_variational(
+        paths["drift"], str(tmp_path / "corr"), correct_intensity=True, **kwargs
+    )
+    # a uniform additive intensity gain is absorbed verbatim into the
+    # remodelling field; the correction removes the global component
+    raw_rem = float(np.mean(np.asarray(raw["remodelling"])))
+    corr_rem = float(np.mean(np.asarray(corrected["remodelling"])))
+    assert abs(corr_rem) < 0.5 * abs(raw_rem)
+    assert not np.allclose(np.asarray(raw["v_x"]), np.asarray(corrected["v_x"]))
