@@ -165,6 +165,138 @@ def compute_epe(movie, u_tpu):
     return float(np.sqrt(d[0] ** 2 + d[1] ** 2)[1:-1, 1:-1].max())
 
 
+def _direct_f64_fields(movie, k=0):
+    """f64 assembled spsolve oracle fields for pair k of ``movie``."""
+    import scipy.sparse.linalg as spla
+
+    from opticalflow_tpu.solve.direct import assemble_el_matrix, fields_to_flat, flat_to_fields
+
+    coeffs, rhs = numpy_pair_data(movie[k], movie[k + 1], ALPHA_S, ALPHA_R)
+    mat = assemble_el_matrix(coeffs, movie.shape[1], movie.shape[2]).tocsr()
+    x = spla.spsolve(mat, fields_to_flat(rhs))
+    return flat_to_fields(x, movie.shape[1], movie.shape[2])
+
+
+def _epe_vs_direct(movie, u_pair0):
+    u_ref = _direct_f64_fields(movie, 0)
+    d = np.asarray(u_pair0) - u_ref
+    return float(np.sqrt(d[0] ** 2 + d[1] ** 2)[1:-1, 1:-1].max())
+
+
+def _tpu_batch_run(movie, n_rep=2):
+    """Solve all pairs of ``movie`` on the session backend (cold-start
+    vmap, production settings); return (pairs/s, fields, iters, converged)."""
+    import jax
+    import jax.numpy as jnp
+    from opticalflow_tpu.flow.variational import _solve_movie
+
+    u0 = jnp.zeros((3, movie.shape[1], movie.shape[2]), jnp.float32)
+
+    def run(mov):
+        all_u, infos = _solve_movie(
+            jnp.asarray(mov, jnp.float32), u0, jnp.float32(ALPHA_S),
+            jnp.float32(ALPHA_R), "compat", "bicgstab", "multigrid", RTOL,
+            1000, True, "cold",
+        )
+        jax.block_until_ready(all_u)
+        return all_u, infos
+
+    run(movie)  # compile
+    rng = np.random.default_rng(1)
+    times = []
+    for _ in range(n_rep):
+        mov = movie + rng.normal(0.0, 1e-4, movie.shape)
+        t0 = time.perf_counter()
+        run(mov)
+        times.append(time.perf_counter() - t0)
+    all_u, infos = run(movie)
+    dt = float(np.median(times))
+    n_pairs = movie.shape[0] - 1
+    return (
+        n_pairs / dt,
+        np.asarray(all_u),
+        np.asarray(infos["iterations"]),
+        np.asarray(infos["converged"]),
+    )
+
+
+def reference_scale_workloads():
+    """BASELINE.md workload anchors measured at the reference's real scale
+    (VERDICT r2 item #2): the 1024^2 embryo pair
+    (/root/reference/analysis/analyse_variational_optical_flow.py:203-205),
+    a 50-pair 512^2 stack (config 3), and a 300-solve batched
+    regularisation sweep (config 5,
+    /root/reference/analysis/analyse_variational_optical_flow.py:292-296).
+    """
+    out = {}
+
+    # -- embryo anchor: one 1024^2 pair (3.1M unknowns) --
+    movie, _ = make_movie(2, 1024, np.float64)
+    fps, u, iters, conv = _tpu_batch_run(movie)
+    rec = {
+        "pairs_per_sec": round(fps, 3),
+        "iterations": [int(v) for v in iters],
+        "converged": bool(conv.all()),
+    }
+    try:
+        rec["epe_px_vs_f64_direct"] = _epe_vs_direct(movie, u[0])
+    except MemoryError:
+        rec["epe_px_vs_f64_direct"] = None
+    out["embryo_1024x1024_single_pair"] = rec
+    print(f"# 1024^2: {rec}", file=sys.stderr)
+
+    # -- config 3: 50-pair 512^2 stack batched on one chip --
+    movie, _ = make_movie(51, 512, np.float64)
+    fps, u, iters, conv = _tpu_batch_run(movie)
+    rec = {
+        "pairs_per_sec": round(fps, 3),
+        "iterations_median": int(np.median(iters)),
+        "iterations_max": int(iters.max()),
+        "converged_pairs": f"{int(conv.sum())}/{conv.size}",
+        "epe_px_vs_f64_direct_pair0": _epe_vs_direct(movie, u[0]),
+    }
+    out["stack_50pairs_512x512"] = rec
+    print(f"# 50x512^2: {rec}", file=sys.stderr)
+
+    # -- config 5: 300-solve regularisation sweep as one batched computation --
+    from opticalflow_tpu.analysis.sweeps import vary_regularisation
+    from opticalflow_tpu.core.types import SolverConfig
+
+    movie, _ = make_movie(2, 128, np.float64)
+    movie32 = np.asarray(movie, np.float32)
+    a_s = np.logspace(1, 5, 15)
+    a_r = np.logspace(1, 5, 20)
+    cfg = SolverConfig(rtol=RTOL)
+    res = vary_regularisation(  # compile
+        movie32, a_s, a_r, batched=True, solver=cfg
+    )
+    t0 = time.perf_counter()
+    res = vary_regularisation(movie32 + 1e-4, a_s, a_r, batched=True, solver=cfg)
+    dt = time.perf_counter() - t0
+    n_solves = len(a_s) * len(a_r)
+    rec = {
+        "n_solves": n_solves,
+        "grid": f"{len(a_s)}x{len(a_r)} alphas, 128^2, 1 pair",
+        "solves_per_sec": round(n_solves / dt, 2),
+        "converged_cells": f"{int(np.sum(res['converged']))}/{n_solves}",
+    }
+    out["sweep_300_solves_128x128"] = rec
+    print(f"# sweep: {rec}", file=sys.stderr)
+    return out
+
+
+def solver_phase_timings(movie):
+    """Per-phase wall-clock profile of one production 256^2 solve
+    (VERDICT r2 item #8 — closes SURVEY §5's per-phase tracing)."""
+    from opticalflow_tpu.flow.variational import profile_solve_phases
+
+    phases = profile_solve_phases(
+        np.asarray(movie[0], np.float32), np.asarray(movie[1], np.float32),
+        ALPHA_S, ALPHA_R, reps=2,
+    )
+    return {k: round(v, 5) for k, v in phases.items()}
+
+
 def main():
     movie, _ = make_movie(N_PAIRS + 1, DIM, np.float64)
 
@@ -177,6 +309,14 @@ def main():
     epe = compute_epe(movie, u_tpu)
     print(f"# EPE vs f64 direct: {epe:.2e} px", file=sys.stderr)
 
+    phases = solver_phase_timings(movie)
+    print(f"# phase timings: {phases}", file=sys.stderr)
+
+    if os.environ.get("BENCH_SKIP_REFERENCE_SCALE", "0") == "1":
+        reference_scale = None
+    else:
+        reference_scale = reference_scale_workloads()
+
     print(
         json.dumps(
             {
@@ -186,6 +326,8 @@ def main():
                 "vs_baseline": round(tpu_fps / cpu_fps, 2),
                 "epe_px_vs_f64_direct": epe,
                 "cpu_baseline_pairs_per_sec": round(cpu_fps, 3),
+                "phase_timings_s_256": phases,
+                "reference_scale": reference_scale,
             }
         )
     )

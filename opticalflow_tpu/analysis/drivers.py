@@ -538,6 +538,13 @@ def run_vortex_pair(output_dir: str = "output", dimension: int = 128,
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="opticalflow_tpu.analysis.drivers")
+    parser.add_argument(
+        "--profile", default=None, metavar="LOGDIR",
+        help="capture a jax.profiler device trace of the experiment into "
+        "LOGDIR (TensorBoard-viewable; solver phases are named-scoped as "
+        "el_pair_data / mg_setup / krylov_main / refinement) and print "
+        "wall-clock span statistics at exit",
+    )
     sub = parser.add_subparsers(dest="experiment", required=True)
 
     p = sub.add_parser("synthetic-boundary")
@@ -700,6 +707,15 @@ def main(argv=None):
         "vortex-pair": run_vortex_pair,
     }[experiment]
     kwargs = {k.replace("-", "_"): v for k, v in args.items()}
+    profile_dir = kwargs.pop("profile", None)
+    if profile_dir:
+        from opticalflow_tpu.utils.observability import profile_trace, span_statistics
+
+        with profile_trace(profile_dir):
+            out = fn(**kwargs)
+        print(f"profiler trace written to {profile_dir}")
+        print("span statistics:", span_statistics())
+        return out
     return fn(**kwargs)
 
 

@@ -127,7 +127,10 @@ class SolverConfig:
     """Krylov solver configuration (the TPU-native analogue of the PETSc
     option strings at ref optical_flow.py:1080-1093, 1117-1126)."""
 
-    method: str = "bicgstab"  # 'bicgstab' | 'cg' | 'direct'
+    # 'gmres' is flexible GMRES(32) — monotone and breakdown-free, the
+    # robust choice at large grids where f32 BiCGStab recurrences collapse
+    # (see solve.krylov.fgmres); 'bicgstab' matches the reference's KSP.
+    method: str = "bicgstab"  # 'bicgstab' | 'gmres' | 'cg' | 'direct'
     rtol: float = 1e-6  # relative tolerance on the unpreconditioned residual
     atol: float = 0.0
     max_iterations: int = 1000
@@ -157,6 +160,9 @@ class SolverConfig:
     # restart).  See flow.variational / bench.py for measured EPE impact.
     refinement_restarts: int = 8
     refinement_rtol: float = 0.2
+    # FGMRES restart length (memory: ~2*restart solution-size vectors per
+    # concurrently solved pair — lower it for large batched stacks).
+    gmres_restart: int = 32
     # Matvec implementation: 'auto' picks the fused Pallas kernel on a TPU
     # backend when the image width fits its tiling, else the XLA stencil.
     # In the sharded paths, 'auto' resolves to the GSPMD-partitioned XLA

@@ -33,6 +33,7 @@ from opticalflow_tpu.core.types import FlowResult, SolverConfig
 from opticalflow_tpu.ops import elop
 from opticalflow_tpu.ops.blur import blur_movie
 from opticalflow_tpu.solve import krylov, multigrid
+from opticalflow_tpu.utils import observability
 
 
 def _functionals(u, pair: elop.FramePairData, speed_alpha, remodelling_alpha, dy_mode):
@@ -109,6 +110,7 @@ def solve_frame_pair(
     tol_floor: float = 300.0,
     refinement_rtol: float = 0.2,
     matvec_factory=None,
+    gmres_restart: int = 32,
 ):
     """Solve the coupled EL system for one frame pair (pixel units).
 
@@ -135,6 +137,39 @@ def solve_frame_pair(
     magnitudes of 1e0..1e8 and stall (512^2) or overflow to NaN (1024^2)
     while the f64 solve converges fine — measured, see bench.py notes.
     """
+    # TPU f32 matmuls default to reduced-precision MXU passes; every
+    # matmul/einsum traced in the solve (Gram-Schmidt projections, MG
+    # stencil applications and probing, coarse LU/triangular solves) is
+    # precision-critical, so pin HIGHEST for the whole trace.  The fused
+    # Pallas kernel and all elementwise stencil math are unaffected.
+    with jax.default_matmul_precision("highest"):
+        return _solve_frame_pair_impl(
+            previous_frame, current_frame, u0, speed_alpha, remodelling_alpha,
+            dy_mode, method, preconditioner, rtol, max_iterations,
+            high_precision_reductions, refinement_restarts, matvec_impl,
+            tol_floor, refinement_rtol, matvec_factory, gmres_restart,
+        )
+
+
+def _solve_frame_pair_impl(
+    previous_frame,
+    current_frame,
+    u0,
+    speed_alpha,
+    remodelling_alpha,
+    dy_mode,
+    method,
+    preconditioner,
+    rtol,
+    max_iterations,
+    high_precision_reductions,
+    refinement_restarts,
+    matvec_impl,
+    tol_floor,
+    refinement_rtol,
+    matvec_factory,
+    gmres_restart=32,
+):
     dtype = jnp.asarray(previous_frame).dtype
     intensity_scale = jnp.maximum(
         jnp.max(jnp.abs(previous_frame)), jnp.asarray(1e-30, dtype)
@@ -146,9 +181,10 @@ def solve_frame_pair(
     speed_alpha = raw_speed_alpha / intensity_scale**2
     u0 = jnp.concatenate([u0[:2], u0[2:] / intensity_scale], axis=0)
 
-    pair = elop.compute_frame_pair_data(
-        previous_frame, current_frame, speed_alpha, remodelling_alpha, dy_mode
-    )
+    with jax.named_scope("el_pair_data"):
+        pair = elop.compute_frame_pair_data(
+            previous_frame, current_frame, speed_alpha, remodelling_alpha, dy_mode
+        )
     # Solve the *reduced* system: boundary constraint rows folded into the
     # interior stencil (exact — see ops.elop), so the Krylov iteration and
     # the multigrid hierarchy see a pure 9-point stencil operator.
@@ -206,10 +242,11 @@ def solve_frame_pair(
         # single vmap level, consumed by the frame-pair batch); in pallas
         # mode the fine level of the cycle runs on the fused kernel via
         # v_cycle_padded, coarse levels stay on the (small) XLA path.
-        hierarchy = multigrid.setup(
-            xla_matvec, elop.diag_blocks(pair.coeffs), m, n, b_red.dtype,
-            fine_smoother_matvec=matvec if matvec_factory is not None else None,
-        )
+        with jax.named_scope("mg_setup"):
+            hierarchy = multigrid.setup(
+                xla_matvec, elop.diag_blocks(pair.coeffs), m, n, b_red.dtype,
+                fine_smoother_matvec=matvec if matvec_factory is not None else None,
+            )
         if use_pallas:
             precond = functools.partial(multigrid.v_cycle_padded, hierarchy, pops)
         else:
@@ -224,17 +261,22 @@ def solve_frame_pair(
     else:
         raise ValueError(f"unknown preconditioner {preconditioner!r}")
 
-    solver_fn = {"bicgstab": krylov.bicgstab, "cg": krylov.cg}[method]
-    res = solver_fn(
-        matvec,
-        b_K,
-        x0=x0_K,
-        precond=precond,
-        rtol=rtol,
-        max_iterations=max_iterations,
-        high_precision_reductions=high_precision_reductions,
-        tol_floor_eps_multiple=tol_floor,
-    )
+    solver_fn = {
+        "bicgstab": krylov.bicgstab,
+        "cg": krylov.cg,
+        "gmres": functools.partial(krylov.fgmres, restart=gmres_restart),
+    }[method]
+    with jax.named_scope("krylov_main"):
+        res = solver_fn(
+            matvec,
+            b_K,
+            x0=x0_K,
+            precond=precond,
+            rtol=rtol,
+            max_iterations=max_iterations,
+            high_precision_reductions=high_precision_reductions,
+            tol_floor_eps_multiple=tol_floor,
+        )
 
     # Mixed-precision iterative refinement (the TPU answer to PETSc's f64
     # solve).  Two f32 noise floors block accuracy beyond ~1e-3 px EPE:
@@ -276,7 +318,6 @@ def solve_frame_pair(
         tol_main = eff_rtol * b_norm
         x_hi0 = pops.slice_solution(res.x) if use_pallas else res.x
         x_lo0 = jnp.zeros_like(x_hi0)
-        x0_zero = jnp.zeros_like(res.x)
         r_hi0 = elop.el_residual_df(dfd, x_hi0, x_lo0)
         r_norm0 = jnp.sqrt(jnp.sum(r_hi0.astype(b_norm.dtype) ** 2))
 
@@ -290,30 +331,46 @@ def solve_frame_pair(
                 step < refinement_restarts, r_norm > 0.25 * tol_main
             )
 
+        # Correction solves run against the df32 operator in interior
+        # layout: the f32 matvec cannot resolve smooth-mode residuals once
+        # eps_f32 * kappa(A) approaches 1 (~1024^2 grids), which stalls
+        # refinement exactly where it is needed most — see el_matvec_df.
+        # The preconditioner stays the fast f32 one (its accuracy does not
+        # limit the attainable residual).
+        matvec_c = functools.partial(elop.el_matvec_df, dfd)
+        if preconditioner == "multigrid":
+            precond_c = functools.partial(multigrid.v_cycle, hierarchy)
+        elif preconditioner == "block_jacobi":
+            precond_c = functools.partial(
+                elop.block_jacobi_inverse_apply_interior, pair.coeffs
+            )
+        else:
+            precond_c = None
+
         def ref_body(state):
             step, x_hi, x_lo, r_hi, r_norm, iters = state
-            r_K = pops.pad_rhs(r_hi) if use_pallas else r_hi
             res_c = solver_fn(
-                matvec,
-                r_K,
-                x0=x0_zero,
-                precond=precond,
+                matvec_c,
+                r_hi,
+                x0=jnp.zeros_like(r_hi),
+                precond=precond_c,
                 rtol=refinement_rtol,
                 max_iterations=max_iterations,
                 high_precision_reductions=high_precision_reductions,
                 tol_floor_eps_multiple=tol_floor,
             )
-            d_int = pops.slice_solution(res_c.x) if use_pallas else res_c.x
+            d_int = res_c.x
             s, e = df32.two_sum(x_hi, d_int)
             x_hi, x_lo = df32.fast_two_sum(s, x_lo + e)
             r_hi = elop.el_residual_df(dfd, x_hi, x_lo)
             r_norm = jnp.sqrt(jnp.sum(r_hi.astype(b_norm.dtype) ** 2))
             return step + 1, x_hi, x_lo, r_hi, r_norm, iters + res_c.iterations
 
-        _, x_hi, x_lo, _, r_norm, iterations = jax.lax.while_loop(
-            ref_cond, ref_body,
-            (jnp.asarray(0, jnp.int32), x_hi0, x_lo0, r_hi0, r_norm0, iterations),
-        )
+        with jax.named_scope("refinement"):
+            _, x_hi, x_lo, _, r_norm, iterations = jax.lax.while_loop(
+                ref_cond, ref_body,
+                (jnp.asarray(0, jnp.int32), x_hi0, x_lo0, r_hi0, r_norm0, iterations),
+            )
         residual_norm = r_norm
         converged = r_norm <= tol_main
         x_int = x_hi + x_lo
@@ -347,7 +404,7 @@ def solve_frame_pair(
     jax.jit,
     static_argnames=("dy_mode", "method", "preconditioner", "max_iterations",
                      "high_precision_reductions", "warm_start", "matvec_impl",
-                     "refinement_restarts"),
+                     "refinement_restarts", "gmres_restart"),
 )
 def _solve_movie(
     movie,
@@ -365,6 +422,7 @@ def _solve_movie(
     refinement_restarts=8,
     tol_floor=300.0,
     refinement_rtol=0.2,
+    gmres_restart=32,
 ):
     prev_frames = movie[:-1]
     cur_frames = movie[1:]
@@ -383,6 +441,7 @@ def _solve_movie(
         refinement_restarts=refinement_restarts,
         tol_floor=tol_floor,
         refinement_rtol=refinement_rtol,
+        gmres_restart=gmres_restart,
     )
 
     if warm_start == "sequential":
@@ -472,6 +531,7 @@ def variational_optical_flow(
             solver.refinement_restarts,
             solver.dtype_tol_floor,
             solver.refinement_rtol,
+            solver.gmres_restart,
         )
 
     all_u = np.asarray(all_u)
@@ -503,6 +563,19 @@ def variational_optical_flow(
     result["converged_all"] = converged_all
     result["iterations"] = np.asarray(infos["iterations"])
     result["residual_norms"] = np.asarray(infos["residual_norm"])
+    # Structured solver telemetry (the reference prints these per pair and
+    # discards them, ref :1131-1157; here they go through the module logger
+    # so callers can capture/ship them).
+    observability.logger.info(
+        "variational solve: %d pairs %dx%d, iterations min/median/max "
+        "%d/%d/%d, residual max %.3e, converged %d/%d",
+        all_u.shape[0], n_i, n_j,
+        int(result["iterations"].min()),
+        int(np.median(result["iterations"])),
+        int(result["iterations"].max()),
+        float(result["residual_norms"].max()),
+        int(converged_all.sum()), converged_all.size,
+    )
     if dy_mode == stencils.DY_COMPAT:
         # ref defect: 'speed_functional' holds the remodelling functional (:1205)
         result["speed_functional"] = rem_sum
@@ -510,6 +583,123 @@ def variational_optical_flow(
     else:
         result["speed_functional"] = speed_sum
     return result
+
+
+def profile_solve_phases(
+    previous_frame,
+    current_frame,
+    speed_alpha=1000.0,
+    remodelling_alpha=1000.0,
+    dy_mode: str = stencils.DY_COMPAT,
+    solver: Optional[SolverConfig] = None,
+    reps: int = 3,
+) -> dict:
+    """Per-phase wall-clock breakdown of one production frame-pair solve.
+
+    Closes SURVEY §5's tracing item (the reference prints ad-hoc spans
+    around assembly / translate / solve, ref optical_flow.py:831,
+    1073-1076, 1106-1109, 1149-1157): phases here are the TPU pipeline's —
+    derivative/coefficient build, multigrid setup, the main Krylov loop,
+    mixed-precision refinement, and the device->host transfer.
+
+    Everything inside ``jit`` is one fused computation, so phases are
+    measured as *cumulative prefixes* compiled separately and differenced
+    (each prefix re-fuses slightly differently — treat the split as a
+    profile, not an exact decomposition; `jax.named_scope` annotations on
+    the same phases give the exact device-time story under
+    ``utils.observability.profile_trace``).  Durations land in the span
+    registry as ``solve/<phase>`` and are returned as a dict of seconds.
+    """
+    import time as _time
+
+    from opticalflow_tpu.utils.observability import record_span
+
+    solver = solver or SolverConfig()
+    prev = jnp.asarray(previous_frame)
+    cur = jnp.asarray(current_frame, prev.dtype)
+    dtype = prev.dtype
+    a_s = jnp.asarray(speed_alpha, dtype)
+    a_r = jnp.asarray(remodelling_alpha, dtype)
+    u0 = jnp.zeros((3,) + prev.shape, dtype)
+
+    @jax.jit
+    def phase_pair_data(p, c):
+        s = jnp.maximum(jnp.max(jnp.abs(p)), jnp.asarray(1e-30, dtype))
+        pair = elop.compute_frame_pair_data(p / s, c / s, a_s / s**2, a_r, dy_mode)
+        return pair.rhs
+
+    @jax.jit
+    def phase_mg_setup(p, c):
+        s = jnp.maximum(jnp.max(jnp.abs(p)), jnp.asarray(1e-30, dtype))
+        pair = elop.compute_frame_pair_data(p / s, c / s, a_s / s**2, a_r, dy_mode)
+        mv = functools.partial(elop.el_matvec_reduced, pair.coeffs)
+        b_red = pair.rhs[:, 1:-1, 1:-1]
+        h = multigrid.setup(
+            mv, elop.diag_blocks(pair.coeffs),
+            b_red.shape[1], b_red.shape[2], b_red.dtype,
+        )
+        # one V-cycle application forces the whole hierarchy (probing,
+        # Galerkin stencils, coarse LU) to actually be computed
+        return multigrid.v_cycle(h, b_red)
+
+    def phase_main(p, c):
+        return solve_frame_pair(
+            p, c, u0, a_s, a_r, dy_mode=dy_mode, method=solver.method,
+            preconditioner=solver.preconditioner, rtol=solver.rtol,
+            max_iterations=solver.max_iterations,
+            high_precision_reductions=solver.high_precision_reductions,
+            refinement_restarts=0, matvec_impl=solver.matvec,
+            tol_floor=solver.dtype_tol_floor,
+        )
+
+    def phase_full(p, c):
+        return solve_frame_pair(
+            p, c, u0, a_s, a_r, dy_mode=dy_mode, method=solver.method,
+            preconditioner=solver.preconditioner, rtol=solver.rtol,
+            max_iterations=solver.max_iterations,
+            high_precision_reductions=solver.high_precision_reductions,
+            refinement_restarts=solver.refinement_restarts,
+            matvec_impl=solver.matvec, tol_floor=solver.dtype_tol_floor,
+            refinement_rtol=solver.refinement_rtol,
+        )
+
+    phase_main = jax.jit(phase_main)
+    phase_full = jax.jit(phase_full)
+
+    def timed(fn, *args):
+        jax.block_until_ready(fn(*args))  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    t_pair = timed(phase_pair_data, prev, cur)
+    t_setup = (
+        timed(phase_mg_setup, prev, cur)
+        if solver.preconditioner == "multigrid"
+        else t_pair
+    )
+    t_main = timed(phase_main, prev, cur)
+    t_full = timed(phase_full, prev, cur)
+    u, _ = phase_full(prev, cur)
+    jax.block_until_ready(u)
+    t0 = _time.perf_counter()
+    np.asarray(u)
+    t_host = _time.perf_counter() - t0
+
+    phases = {
+        "pair_data": t_pair,
+        "mg_setup": max(t_setup - t_pair, 0.0),
+        "krylov_main": max(t_main - t_setup, 0.0),
+        "refinement": max(t_full - t_main, 0.0),
+        "host_transfer": t_host,
+        "total": t_full + t_host,
+    }
+    for name, seconds in phases.items():
+        record_span(f"solve/{name}", seconds)
+    return phases
 
 
 def _solve_movie_direct(movie, u_init, speed_alpha, remodelling_alpha, dy_mode, warm_start):

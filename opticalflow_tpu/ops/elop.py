@@ -489,6 +489,26 @@ def el_residual_df(dfd: ELPairDataDF, x_hi: jnp.ndarray, x_lo: jnp.ndarray) -> j
     return jnp.stack([r_ux, r_uy, r_g])
 
 
+def el_matvec_df(dfd: ELPairDataDF, x: jnp.ndarray) -> jnp.ndarray:
+    """``A_reduced x`` evaluated against the double-float system data —
+    exact to ~eps^2 like :func:`el_residual_df` (it IS that residual with
+    a zero RHS, negated).
+
+    Why it exists: at 1024^2 the velocity block's condition number is
+    ~1e6, so the *plain f32* matvec cannot resolve residuals of the
+    smooth (near-null Laplacian) modes — eps * kappa ~ 0.1 — and the
+    refinement's f32 correction solves stall around 1e-3 relative
+    (measured: GMRES+MG converges at <= 512^2 but plateaus at 2e-3
+    absolute at 1024^2).  Solving the correction systems against the df32
+    operator restores the 'refinement contracts by rtol per step'
+    guarantee independent of kappa * eps_f32.  Pure VPU pair arithmetic;
+    used only inside refinement, never in the main Krylov loop.
+    """
+    zero = jnp.zeros_like(dfd.rhs_hi)
+    dfd0 = dfd._replace(rhs_hi=zero, rhs_lo=zero)
+    return -el_residual_df(dfd0, x, jnp.zeros_like(x))
+
+
 def embed_interior(u_int: jnp.ndarray) -> jnp.ndarray:
     """Place an interior solution into the full grid and fill the boundary
     with the reference's post-solve mirror fix-up (ref :1163-1166) — note

@@ -98,12 +98,22 @@ def stencil_matvec(S: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """
     m, n = u.shape[1], u.shape[2]
     upad = jnp.pad(u, ((0, 0), (1, 1), (1, 1)))
-    y = jnp.zeros_like(u)
-    for di in range(3):
-        for dj in range(3):
-            shifted = upad[:, di : di + m, dj : dj + n]
-            y = y + jnp.einsum("oqij,qij->oij", S[:, :, di, dj], shifted)
-    return y
+    # Unrolled elementwise multiply-adds on the VPU: the (o, q) contraction
+    # is only 3x3, so an einsum would route it through the MXU, whose f32
+    # "default" precision is reduced (bf16 passes) — measured to degrade
+    # the V-cycle enough to triple GMRES iteration counts at 512^2 — and
+    # whose HIGHEST emulation faulted the device at 1024^2.  Plane FMAs
+    # are exact f32 and the op stays memory-bound either way.
+    out = []
+    for o in range(3):
+        acc = None
+        for q in range(3):
+            for di in range(3):
+                for dj in range(3):
+                    term = S[o, q, di, dj] * upad[q, di : di + m, dj : dj + n]
+                    acc = term if acc is None else acc + term
+        out.append(acc)
+    return jnp.stack(out)
 
 
 def probe_stencil(matvec: Callable, m: int, n: int, dtype) -> jnp.ndarray:
@@ -141,7 +151,24 @@ def probe_stencil(matvec: Callable, m: int, n: int, dtype) -> jnp.ndarray:
               == s_vals[:, None, None]).astype(dtype)  # (si, di, i)
     mask_j = ((jj.ravel()[None, None, :] + offs[None, :, None] - 1) % 3
               == s_vals[:, None, None]).astype(dtype)  # (sj, dj, j)
-    return jnp.einsum("sdi,tej,qstoij->oqdeij", mask_i, mask_j, ys)
+    # Assemble S[o,q,di,dj] = sum_{s,t} mask_i[s,di]*mask_j[t,dj]*ys[q,s,t,o]
+    # as unrolled masked sums (the s,t contraction is 3x3; an einsum would
+    # use the MXU — see stencil_matvec for the precision/fault rationale).
+    # The masks are 0/1 indicators, so each (s,t) term is an exact select.
+    cols = []
+    for d in range(3):
+        rows = []
+        for e in range(3):
+            acc = None
+            for s in range(3):
+                for t in range(3):
+                    term = (mask_i[s, d][:, None] * mask_j[t, e][None, :]
+                            * ys[:, s, t])  # (q, o, i, j) after broadcast
+                    acc = term if acc is None else acc + term
+            rows.append(acc)  # (q, o, i, j)
+        cols.append(jnp.stack(rows))  # (e, q, o, i, j)
+    S = jnp.stack(cols)  # (d, e, q, o, i, j)
+    return jnp.transpose(S, (3, 2, 0, 1, 4, 5))  # (o, q, d, e, i, j)
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +227,11 @@ def invert_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
 
 def apply_blocks(binv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """(M,N,3,3) per-pixel blocks applied to a (3,M,N) field."""
-    return jnp.einsum("ijoq,qij->oij", binv, r)
+    # 3x3 block application as unrolled plane FMAs (VPU-exact f32; see
+    # stencil_matvec for why this avoids einsum/MXU).
+    return jnp.stack([
+        sum(binv[:, :, o, q] * r[q] for q in range(3)) for o in range(3)
+    ])
 
 
 def gs_sweep(matvec, binv, masks, x, b, reverse: bool = False):

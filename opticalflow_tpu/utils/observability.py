@@ -65,6 +65,13 @@ def reset_spans() -> None:
     _SPANS.clear()
 
 
+def record_span(name: str, seconds: float) -> None:
+    """Record an externally measured duration into the span registry
+    (used by the per-phase solver profiler, where phase durations are
+    derived by subtraction of cumulative timings rather than wrapped)."""
+    _SPANS[name].append(seconds)
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str) -> Iterator[None]:
     """Capture a jax.profiler trace (TensorBoard-viewable) around a block."""

@@ -84,3 +84,24 @@ def test_drivers_cli_file_experiment(tmp_path):
         "--speed-alpha", "500", "--remodelling-alpha", "500",
     ])
     assert (out_dir / "variational_result.npy").exists()
+
+
+def test_profile_solve_phases_smoke():
+    """Per-phase solver profile: phases present, positive, and recorded
+    into the span registry (VERDICT r2 item #8)."""
+    from opticalflow_tpu.core.synth import make_translating_blob_movie
+    from opticalflow_tpu.flow.variational import profile_solve_phases
+
+    reset_spans()
+    movie, _ = make_translating_blob_movie(
+        n_frames=2, dimension=32, width=8.0, sigma=2.0, v_x=0.1, v_y=0.05,
+        dtype=np.float32,
+    )
+    movie = np.asarray(movie, np.float32) * 100.0
+    phases = profile_solve_phases(movie[0], movie[1], 1000.0, 1000.0, reps=1)
+    for key in ("pair_data", "mg_setup", "krylov_main", "refinement",
+                "host_transfer", "total"):
+        assert key in phases and phases[key] >= 0.0
+    assert phases["total"] > 0.0
+    stats = span_statistics()
+    assert stats["solve/krylov_main"]["count"] == 1

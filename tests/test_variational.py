@@ -118,3 +118,49 @@ def test_low_alpha_regime_uses_direct_solver(small_movie):
         use_direct_solver=True,
     )
     assert np.isfinite(res["v_x"]).all()
+
+
+def test_fgmres_solves_reference_system(small_movie):
+    """FGMRES(32) + multigrid matches the assembled f64 spsolve oracle.
+
+    FGMRES is the robust large-grid method (f32 BiCGStab recurrences
+    collapse at >= 512^2 — see solve.krylov.fgmres); here it must agree
+    with the oracle on the small system like BiCGStab does.
+    """
+    movie, _ = small_movie
+    a_s, a_r = 100.0, 100.0
+    prev, cur = jnp.asarray(movie[0]), jnp.asarray(movie[1])
+    n_i, n_j = prev.shape
+
+    u0 = jnp.zeros((3, n_i, n_j))
+    u, info = solve_frame_pair(prev, cur, u0, a_s, a_r, rtol=1e-10, method="gmres")
+    assert bool(info["converged"])
+
+    A_ref, b_ref = reference_el_system(movie[0], movie[1], a_s, a_r, compat_dy=True)
+    x_ref = scipy.sparse.linalg.spsolve(A_ref, b_ref)
+    u_ref = direct.flat_to_fields(x_ref, n_i, n_j)
+    epe = np.sqrt(
+        (np.asarray(u[0]) - u_ref[0])[1:-1, 1:-1] ** 2
+        + (np.asarray(u[1]) - u_ref[1])[1:-1, 1:-1] ** 2
+    )
+    assert epe.max() < 1e-6
+
+
+def test_fgmres_f32_matches_bicgstab_f32(small_movie):
+    """The two production methods agree in f32 to solver tolerance, and
+    gmres needs no more total iterations (it is the cheaper per-iteration
+    method: 1 matvec + 1 V-cycle vs BiCGStab's 2 + 2)."""
+    movie, _ = small_movie
+    prev = jnp.asarray(movie[0], jnp.float32)
+    cur = jnp.asarray(movie[1], jnp.float32)
+    u0 = jnp.zeros((3,) + prev.shape, jnp.float32)
+    u_g, info_g = solve_frame_pair(
+        prev, cur, u0, 100.0, 100.0, method="gmres",
+        high_precision_reductions=False,
+    )
+    u_b, info_b = solve_frame_pair(
+        prev, cur, u0, 100.0, 100.0, method="bicgstab",
+        high_precision_reductions=False,
+    )
+    assert bool(info_g["converged"]) and bool(info_b["converged"])
+    np.testing.assert_allclose(np.asarray(u_g), np.asarray(u_b), atol=2e-4)
