@@ -160,6 +160,14 @@ class SolverConfig:
     # restart).  See flow.variational / bench.py for measured EPE impact.
     refinement_restarts: int = 8
     refinement_rtol: float = 0.2
+    # The refinement loop exits when the df32 true residual reaches
+    # ``refinement_exit_factor * tol`` — refining *past* the reported
+    # tolerance so the flow EPE keeps margin under the <1e-3 px BASELINE
+    # target instead of landing on the tolerance boundary.  Tuned on-chip
+    # (bench/refine_tune.py, 12-pair 256^2 batch): 0.25 left pair EPEs at
+    # 1.45e-3 px; 0.1 reaches 9.7e-5 px at the SAME wall time, because the
+    # batch's slowest pair already sets the adaptive loop's trip count.
+    refinement_exit_factor: float = 0.1
     # FGMRES restart length (memory: ~2*restart solution-size vectors per
     # concurrently solved pair — lower it for large batched stacks).
     gmres_restart: int = 32
@@ -187,7 +195,9 @@ class VariationalConfig:
     initial_remodelling: float = 0.0
     # 'sequential' reproduces the reference's warm-start chain across frame
     # pairs (ref :799-806); 'cold' drops it so frame pairs become
-    # embarrassingly parallel (batched/sharded execution).
+    # embarrassingly parallel (batched/sharded execution); 'two-pass'
+    # solves pair 0 first and batches the rest from its solution — most of
+    # the warm-start savings at full batch parallelism.
     warm_start: str = "sequential"
     # 'compat' replicates the reference's dy-rule defect (see core.stencils).
     dy_mode: str = "compat"

@@ -15,6 +15,10 @@ Modes:
 * ``warm_start='cold'`` — every pair starts from the initial guess;
   frame pairs become independent and are batched with ``vmap`` (and can be
   sharded across devices, see ``parallel``).
+* ``warm_start='two-pass'`` — pair 0 is solved first and its solution is
+  broadcast as the initial guess of the batched remaining pairs: most of
+  the warm-start iteration savings at full batch parallelism (SURVEY
+  section 2.4 middle ground).
 * ``use_direct_solver=True`` — host-side assembled spsolve (small images;
   parity with ref :1147 and the correctness oracle).
 """
@@ -111,6 +115,7 @@ def solve_frame_pair(
     refinement_rtol: float = 0.2,
     matvec_factory=None,
     gmres_restart: int = 32,
+    refinement_exit_factor: float = 0.1,
 ):
     """Solve the coupled EL system for one frame pair (pixel units).
 
@@ -148,6 +153,7 @@ def solve_frame_pair(
             dy_mode, method, preconditioner, rtol, max_iterations,
             high_precision_reductions, refinement_restarts, matvec_impl,
             tol_floor, refinement_rtol, matvec_factory, gmres_restart,
+            refinement_exit_factor,
         )
 
 
@@ -169,6 +175,7 @@ def _solve_frame_pair_impl(
     refinement_rtol,
     matvec_factory,
     gmres_restart=32,
+    refinement_exit_factor=0.1,
 ):
     dtype = jnp.asarray(previous_frame).dtype
     intensity_scale = jnp.maximum(
@@ -204,28 +211,28 @@ def _solve_frame_pair_impl(
         # shard_maps the fused Pallas kernel with ppermute halo exchange.
         # Krylov state stays in interior layout (the GSPMD path's
         # layouts); only the matvec drops into manual SPMD.
-        pops = None
+        aops = None
         matvec = matvec_factory(
             previous_frame, speed_alpha, remodelling_alpha, dy_mode
         )
         b_K = b_red
         x0_K = u0_red
     elif use_pallas:
-        # Padded-state fused-kernel path: BiCGStab's solution-space vectors
-        # live in the kernel's mirror-extended aligned layout (P) and its
-        # residual-space vectors in the zero-padded interior layout (R),
-        # so no per-application pad/extension copies remain — the
-        # preconditioner output is the only R -> P bridge.
+        # v3 fused-kernel path: mirror rows are folded INTO the kernel, so
+        # the whole Krylov iteration lives in ONE zero-padded interior-
+        # aligned container layout — matvec is C -> C and no extension /
+        # pad copies remain anywhere in the loop (the round-3 R -> P
+        # bridge cost 5x the kernel itself; see ops.pallas_kernels).
         from opticalflow_tpu.ops import pallas_kernels
 
-        pops = pallas_kernels.make_padded_ops(
+        aops = pallas_kernels.make_aligned_ops(
             previous_frame, speed_alpha, remodelling_alpha, dy_mode
         )
-        matvec = pops.matvec
-        b_K = pops.pad_rhs(b_red)
-        x0_K = pops.extend_pad(u0_red)
+        matvec = aops.matvec
+        b_K = aops.pad_field(b_red)
+        x0_K = aops.pad_field(u0_red)
     else:
-        pops = None
+        aops = None
         matvec = xla_matvec
         b_K = b_red
         x0_K = u0_red
@@ -233,31 +240,34 @@ def _solve_frame_pair_impl(
     if preconditioner == "block_jacobi":
         bj = functools.partial(elop.block_jacobi_inverse_apply_interior, pair.coeffs)
         if use_pallas:
-            precond = lambda r: pops.extend_pad(bj(pops.slice_residual(r)))
+            precond = lambda r: aops.pad_field(bj(aops.slice_field(r)))
         else:
             precond = bj
     elif preconditioner == "multigrid":
         # hierarchy probing vmaps the fine matvec over 27 comb vectors —
         # always the XLA operator (the pallas custom_vmap rule supports a
         # single vmap level, consumed by the frame-pair batch); in pallas
-        # mode the fine level of the cycle runs on the fused kernel via
-        # v_cycle_padded, coarse levels stay on the (small) XLA path.
+        # mode the cycle's fine level runs on the fused kernel in container
+        # layout (v_cycle_aligned), coarse levels stay on the (small) XLA
+        # path.
         with jax.named_scope("mg_setup"):
             hierarchy = multigrid.setup(
                 xla_matvec, elop.diag_blocks(pair.coeffs), m, n, b_red.dtype,
                 fine_smoother_matvec=matvec if matvec_factory is not None else None,
             )
         if use_pallas:
-            precond = functools.partial(multigrid.v_cycle_padded, hierarchy, pops)
+            binv_c = jnp.pad(
+                hierarchy.levels[0].binv,
+                ((0, b_K.shape[1] - m), (0, b_K.shape[2] - n), (0, 0), (0, 0)),
+            )
+            precond = functools.partial(
+                multigrid.v_cycle_aligned, hierarchy, aops, binv_c
+            )
         else:
             precond = functools.partial(multigrid.v_cycle, hierarchy)
     elif preconditioner == "none":
-        if use_pallas:
-            # identity in solution space (right preconditioning still needs
-            # the R -> P bridge)
-            precond = lambda r: pops.extend_pad(pops.slice_residual(r))
-        else:
-            precond = None
+        # layouts agree in every mode (C -> C or interior -> interior)
+        precond = None
     else:
         raise ValueError(f"unknown preconditioner {preconditioner!r}")
 
@@ -316,19 +326,22 @@ def _solve_frame_pair_impl(
         )
         b_norm = jnp.sqrt(jnp.sum(b_red * b_red))
         tol_main = eff_rtol * b_norm
-        x_hi0 = pops.slice_solution(res.x) if use_pallas else res.x
+        x_hi0 = aops.slice_field(res.x) if use_pallas else res.x
         x_lo0 = jnp.zeros_like(x_hi0)
         r_hi0 = elop.el_residual_df(dfd, x_hi0, x_lo0)
         r_norm0 = jnp.sqrt(jnp.sum(r_hi0.astype(b_norm.dtype) ** 2))
 
+        exit_tol = refinement_exit_factor * tol_main
+
         def ref_cond(state):
             step, _, _, _, r_norm, _ = state
-            # refine one contraction beyond the reported tolerance (0.25x)
-            # so the EPE keeps margin under the <1e-3 px target instead of
-            # landing exactly on the tolerance boundary (costs ~1 cheap
-            # correction solve; measured 34 pairs/s either way at 256^2)
+            # refine `refinement_exit_factor` contractions beyond the
+            # reported tolerance so the EPE keeps margin under the <1e-3 px
+            # target instead of landing exactly on the tolerance boundary
+            # (each extra factor of ~refinement_rtol costs one cheap
+            # correction solve; tuned on-chip, see bench/refine_tune.py)
             return jnp.logical_and(
-                step < refinement_restarts, r_norm > 0.25 * tol_main
+                step < refinement_restarts, r_norm > exit_tol
             )
 
         # Correction solves run against the df32 operator in interior
@@ -375,7 +388,7 @@ def _solve_frame_pair_impl(
         converged = r_norm <= tol_main
         x_int = x_hi + x_lo
     else:
-        x_int = pops.slice_solution(res.x) if use_pallas else res.x
+        x_int = aops.slice_field(res.x) if use_pallas else res.x
     res = krylov.KrylovResult(
         x=res.x, iterations=iterations, residual_norm=residual_norm, converged=converged
     )
@@ -423,6 +436,7 @@ def _solve_movie(
     tol_floor=300.0,
     refinement_rtol=0.2,
     gmres_restart=32,
+    refinement_exit_factor=0.1,
 ):
     prev_frames = movie[:-1]
     cur_frames = movie[1:]
@@ -442,6 +456,7 @@ def _solve_movie(
         tol_floor=tol_floor,
         refinement_rtol=refinement_rtol,
         gmres_restart=gmres_restart,
+        refinement_exit_factor=refinement_exit_factor,
     )
 
     if warm_start == "sequential":
@@ -454,6 +469,28 @@ def _solve_movie(
         _, (all_u, infos) = jax.lax.scan(step, u_init, (prev_frames, cur_frames))
     elif warm_start == "cold":
         all_u, infos = jax.vmap(lambda p, c: pair_solver(p, c, u_init))(prev_frames, cur_frames)
+    elif warm_start == "two-pass":
+        # SURVEY section 2.4's documented middle ground between the
+        # reference's serial warm-start chain (ref :803-806) and the fully
+        # parallel cold start: solve pair 0 from the caller's guess, then
+        # batch the remaining pairs with pair 0's solution broadcast as
+        # their initial guess.  Consecutive microscopy frames are highly
+        # correlated, so the broadcast guess removes most of the Krylov
+        # work of every pair but the first while keeping the batch
+        # embarrassingly parallel (measured iteration counts in bench.py).
+        u_first, info_first = pair_solver(prev_frames[0], cur_frames[0], u_init)
+        if prev_frames.shape[0] > 1:
+            u_rest, infos_rest = jax.vmap(lambda p, c: pair_solver(p, c, u_first))(
+                prev_frames[1:], cur_frames[1:]
+            )
+            all_u = jnp.concatenate([u_first[None], u_rest])
+            infos = jax.tree.map(
+                lambda a, b: jnp.concatenate([jnp.asarray(a)[None], b]),
+                info_first, infos_rest,
+            )
+        else:
+            all_u = u_first[None]
+            infos = jax.tree.map(lambda a: jnp.asarray(a)[None], info_first)
     else:
         raise ValueError(f"unknown warm_start mode {warm_start!r}")
     return all_u, infos
@@ -532,6 +569,7 @@ def variational_optical_flow(
             solver.dtype_tol_floor,
             solver.refinement_rtol,
             solver.gmres_restart,
+            solver.refinement_exit_factor,
         )
 
     all_u = np.asarray(all_u)

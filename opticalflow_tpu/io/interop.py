@@ -173,3 +173,52 @@ def convert_ncorr_result(ncorr_result, delta_x: float = 1.0, delta_t: float = 1.
         v_x[k] = vx
         v_y[k] = vy
     return v_x, v_y
+
+
+def convert_liu_result(
+    liu_result,
+    movie_shape=None,
+    delta_x: float = 1.0,
+    delta_t: float = 1.0,
+) -> FlowResult:
+    """Liu-Shen MATLAB ``.mat`` result -> FlowResult.
+
+    Repaired port of the reference's ``postprocess_Liu.py`` loader, which
+    ships broken (undefined variables / bad indentation at
+    /root/reference/analysis/postprocess_Liu.py:38-59 — evidence the
+    MATLAB comparison was done manually).  Semantics preserved from what
+    that code *means*: the Liu-Shen MATLAB output stores single-pair pixel
+    displacement fields under ``'ux'`` / ``'uy'`` (or per-frame cell
+    arrays under ``'u_original'`` / ``'v_original'`` in PIVlab-style
+    exports); velocities are scaled by ``delta_x / delta_t`` into physical
+    units and packed into the standard flow-result contract.
+
+    ``movie_shape``: optional ``(frames, X, Y)`` of the source movie —
+    used to validate the field shape like the reference intended with its
+    ``actin_movie``-shaped zero arrays (ref :38-41).
+    """
+    scale = delta_x / delta_t
+    if "ux" in liu_result:
+        v_x = np.asarray(liu_result["ux"], dtype=float)[None] * scale
+        v_y = np.asarray(liu_result["uy"], dtype=float)[None] * scale
+    elif "u_original" in liu_result:
+        v_x = _unwrap_cells(liu_result["u_original"]) * scale
+        v_y = _unwrap_cells(liu_result["v_original"]) * scale
+    else:
+        raise KeyError(
+            "Liu-Shen result needs 'ux'/'uy' (single pair) or "
+            "'u_original'/'v_original' (per-frame cells); got keys "
+            f"{sorted(k for k in liu_result if not k.startswith('__'))}"
+        )
+    if movie_shape is not None and tuple(v_x.shape[1:]) != tuple(movie_shape[1:]):
+        raise ValueError(
+            f"Liu-Shen field shape {v_x.shape[1:]} does not match movie "
+            f"frames {tuple(movie_shape[1:])}"
+        )
+    return FlowResult(
+        v_x=v_x,
+        v_y=v_y,
+        speed=np.sqrt(v_x**2 + v_y**2),
+        delta_x=delta_x,
+        delta_t=delta_t,
+    )

@@ -359,3 +359,315 @@ def el_matvec_reduced_pallas(
     the PaddedOps closures directly to avoid them)."""
     ops = make_padded_ops(previous_frame, speed_alpha, remodelling_alpha, dy_mode)
     return ops.slice_residual(ops.matvec(ops.extend_pad(u_int)))
+
+
+# ===========================================================================
+# v3 kernel (round 4): mirror folding IN-KERNEL, one interior-aligned layout
+#
+# Round-3 profiling on-chip (bench/component_probe.py) showed the fused
+# kernel itself costs ~85us per batched 256^2 application but the R -> P
+# bridge (ops.elop.extend_interior + aligned pad, one per preconditioner
+# update) costs ~445us — 5x the kernel.  The mirror extension is, however,
+# a *static index remapping* plus a corner doubling: ext(-1) reads interior
+# row/col 1, ext(m) reads interior m-2, global corners take 2x the diagonal
+# value (ops.elop._extend_with_corners).  So the v3 kernel folds it into
+# the stencil reads themselves as vectorised selects on the row/col index
+# masks — and the whole Krylov iteration collapses to ONE layout:
+#
+#   container C: (3, mp, NW) with the interior field at the origin and
+#   exact zeros outside (m, n); mp = ceil(m/BMv)*BMv, NW = ceil(n/128)*128.
+#
+# matvec is C -> C, every solution/residual vector lives in C, dot
+# products need no masking (zeros preserved by the kernel's output mask),
+# the preconditioner's fine-level block-Jacobi updates run directly on C
+# (solve.multigrid.v_cycle_aligned), and no extension/pad copies remain
+# anywhere in the iteration.
+# ===========================================================================
+
+
+def _pick_bm(nw: int) -> int:
+    """Row-block size: 128 up to 512-wide images, 64 beyond (halves the
+    VMEM footprint of the out block + coefficient temporaries at 1024^2)."""
+    return 128 if nw <= 512 else 64
+
+
+def _el_matvec_interior_kernel(
+    scalars_ref, meta_ref, i_hbm, u_hbm, out_ref, i_tile, u_tile, sems, *, bm
+):
+    """One (batch, row-block) tile of the fused EL matvec, interior layout.
+
+    ``i_hbm``: (B, mp+8, NI) previous-frame plane, full (m+2, n+2) frame
+    at the origin.  ``u_hbm``: (B, 3, mp, NW) interior container C.
+    Output block: (1, 3, bm, NW) rows ``[j*bm, j*bm+bm)`` of C.
+
+    The reduced-system mirror semantics (ops.elop.extend_interior) are
+    applied to the field reads in-kernel: reads of interior row -1 select
+    row 1, row m selects m-2 (cols symmetric), and the four diagonal reads
+    are doubled at the matching image corner.
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    mp = u_hbm.shape[2]
+    NW = u_hbm.shape[3]
+    NI = i_hbm.shape[2]
+    size_rows_u = min(bm + 16, mp)
+
+    # row window [j*bm - 8, j*bm + bm + 8) clamped into the container.
+    # The clamp offset moves into the DMA *destination* (dynamic DMA
+    # offsets are cheap; dynamic vector-load offsets choke Mosaic), so
+    # container row r always lands at scratch row 16 + r - j*bm and every
+    # in-kernel read below is a static slice.
+    start_u = jnp.clip(j * bm - 8, 0, mp - size_rows_u)
+    dest_row = 16 - (j * bm - start_u)  # in {0, 8, 16}
+
+    cp_i = pltpu.make_async_copy(
+        i_hbm.at[b, pl.ds(j * bm, bm + 8), :],
+        i_tile.at[: bm + 8, :NI],
+        sems.at[0],
+    )
+    cp_u = pltpu.make_async_copy(
+        u_hbm.at[b, :, pl.ds(pl.multiple_of(start_u, 8), size_rows_u), :],
+        u_tile.at[:, pl.ds(pl.multiple_of(dest_row, 8), size_rows_u),
+                  _LANE : _LANE + NW],
+        sems.at[1],
+    )
+    cp_i.start()
+    cp_u.start()
+
+    a_s = scalars_ref[b, 0]
+    a_r = scalars_ref[b, 1]
+    m_valid = meta_ref[b, 0]
+    n_valid = meta_ref[b, 1]
+    compat = meta_ref[b, 2]
+
+    cp_i.wait()
+    cp_u.wait()
+
+    it = i_tile[:]
+
+    def shi(a, bb):
+        # I(i+a, j+bb) for output pixel (i, j): full-frame layout, no
+        # mirror needed (the frame exists at all stencil offsets)
+        return it[a : a + bm, bb : bb + NW]
+
+    # --- coefficients on the fly (ops.elop.compute_frame_pair_data) ---
+    I = shi(1, 1)
+    dIdx = 0.5 * (shi(2, 1) - shi(0, 1))
+    dIdy_fixed = 0.5 * (shi(1, 2) - shi(1, 0))
+    dIdy = jnp.where(compat != 0, dIdx, dIdy_fixed)
+    dIdxx = shi(2, 1) + shi(0, 1) - 2.0 * I
+    dIdyy = shi(1, 2) + shi(1, 0) - 2.0 * I
+    dIdxy = 0.25 * (shi(2, 2) - shi(2, 0) - shi(0, 2) + shi(0, 0))
+
+    diag_x = I * (dIdxx - 2.0 * I) - 4.0 * a_s
+    diag_y = I * (dIdyy - 2.0 * I) - 4.0 * a_s
+    cross = I * dIdxy
+    adv_xm = I * (-dIdx + I) + a_s
+    adv_xp = I * (dIdx + I) + a_s
+    adv_ym = I * (-dIdy + I) + a_s
+    adv_yp = I * (dIdy + I) + a_s
+    gx = I * dIdx * 0.5
+    gy = I * dIdy * 0.5
+    quart = I * I * 0.25
+    half_i = I * 0.5
+
+    # --- mirror-folded field reads ---
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bm, NW), 0) + j * bm
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (bm, NW), 1)
+    row0 = row_ids == 0
+    rowm = row_ids == m_valid - 1
+    col0 = col_ids == 0
+    coln = col_ids == n_valid - 1
+
+    def mk_reads(q, need_diag):
+        """The 9 mirror-folded reads P[a][bb] of one field (g skips the
+        diagonals).  raw (a, bb) reads interior (i+a-1, j+bb-1): container
+        row r sits at scratch row 16 + r - j*bm, so output row k at
+        stencil offset a reads scratch row 15 + k + a — static."""
+
+        def raw(a, bb):
+            return u_tile[q, 15 + a : 15 + a + bm,
+                          _LANE - 1 + bb : _LANE - 1 + bb + NW]
+
+        # column-fixed planes C[a][bb]: interior col -1 -> col 1, col n -> n-2
+        C = {}
+        for a in range(3):
+            r0, r1, r2 = raw(a, 0), raw(a, 1), raw(a, 2)
+            C[(a, 0)] = jnp.where(col0, r2, r0)
+            C[(a, 1)] = r1
+            C[(a, 2)] = jnp.where(coln, r0, r2)
+        # row-fixed planes: interior row -1 -> row 1, row m -> m-2
+        P = {}
+        bbs = (0, 1, 2)
+        for bb in bbs:
+            if not need_diag and bb != 1:
+                P[(1, bb)] = C[(1, bb)]
+                P[(0, bb)] = None
+                P[(2, bb)] = None
+                continue
+            P[(0, bb)] = jnp.where(row0, C[(2, bb)], C[(0, bb)])
+            P[(1, bb)] = C[(1, bb)]
+            P[(2, bb)] = jnp.where(rowm, C[(0, bb)], C[(2, bb)])
+        if not need_diag:
+            # g still needs the 4 edge-centre reads (0,1),(2,1),(1,0),(1,2)
+            P[(0, 1)] = jnp.where(row0, C[(2, 1)], C[(0, 1)])
+            P[(2, 1)] = jnp.where(rowm, C[(0, 1)], C[(2, 1)])
+            return P
+        # corner doubling: the diagonal reads that mirrored BOTH indices
+        two = jnp.asarray(2.0, out_ref.dtype)
+        P[(0, 0)] = jnp.where(row0 & col0, two * P[(0, 0)], P[(0, 0)])
+        P[(0, 2)] = jnp.where(row0 & coln, two * P[(0, 2)], P[(0, 2)])
+        P[(2, 0)] = jnp.where(rowm & col0, two * P[(2, 0)], P[(2, 0)])
+        P[(2, 2)] = jnp.where(rowm & coln, two * P[(2, 2)], P[(2, 2)])
+        return P
+
+    UX = mk_reads(0, need_diag=True)
+    UY = mk_reads(1, need_diag=True)
+    G = mk_reads(2, need_diag=False)
+
+    # --- fused 9-point / 3-field stencil (ops.elop.interior_apply) ---
+    y_ux = (
+        diag_x * UX[(1, 1)]
+        + cross * UY[(1, 1)]
+        + adv_xm * UX[(0, 1)]
+        + adv_xp * UX[(2, 1)]
+        + a_s * (UX[(1, 0)] + UX[(1, 2)])
+        + gx * (UY[(1, 2)] - UY[(1, 0)])
+        + gy * (UY[(2, 1)] - UY[(0, 1)])
+        + quart * (UY[(0, 0)] + UY[(2, 2)] - UY[(0, 2)] - UY[(2, 0)])
+        + half_i * (G[(0, 1)] - G[(2, 1)])
+    )
+    y_uy = (
+        diag_y * UY[(1, 1)]
+        + cross * UX[(1, 1)]
+        + adv_ym * UY[(1, 0)]
+        + adv_yp * UY[(1, 2)]
+        + a_s * (UY[(0, 1)] + UY[(2, 1)])
+        + gy * (UX[(2, 1)] - UX[(0, 1)])
+        + gx * (UX[(1, 2)] - UX[(1, 0)])
+        + quart * (UX[(0, 0)] + UX[(2, 2)] - UX[(0, 2)] - UX[(2, 0)])
+        + half_i * (G[(1, 0)] - G[(1, 2)])
+    )
+    y_g = (
+        (-1.0 - 4.0 * a_r) * G[(1, 1)]
+        + dIdx * UX[(1, 1)]
+        + dIdy * UY[(1, 1)]
+        + a_r * (G[(0, 1)] + G[(2, 1)] + G[(1, 0)] + G[(1, 2)])
+        + half_i * (UX[(2, 1)] - UX[(0, 1)])
+        + half_i * (UY[(1, 2)] - UY[(1, 0)])
+    )
+
+    # Keep the container's exact-zero padding invariant.
+    valid = (row_ids < m_valid) & (col_ids < n_valid)
+    zero = jnp.zeros((), out_ref.dtype)
+    out_ref[0, 0] = jnp.where(valid, y_ux, zero)
+    out_ref[0, 1] = jnp.where(valid, y_uy, zero)
+    out_ref[0, 2] = jnp.where(valid, y_g, zero)
+
+
+def _run_batched_interior(i_cont, scalars, meta, u_cont, interpret):
+    batch, _, mp, NW = u_cont.shape
+    NI = i_cont.shape[2]
+    bm = _pick_bm(NW)
+    grid_m = mp // bm
+    dtype = u_cont.dtype
+
+    return pl.pallas_call(
+        functools.partial(_el_matvec_interior_kernel, bm=bm),
+        grid=(batch, grid_m),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (B, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (B, 3) int32
+            pl.BlockSpec(memory_space=pl.ANY),  # I container, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # field container, manual DMA
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, bm, NW), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, 3, mp, NW), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm + 8, NI + _LANE), dtype),
+            pltpu.VMEM((3, bm + 32, NW + 2 * _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(scalars, meta, i_cont, u_cont)
+
+
+@jax.custom_batching.custom_vmap
+def _interior_matvec(i_cont, scalars, meta, u_cont):
+    """Unbatched fused C -> C matvec on container operands."""
+    return _run_batched_interior(
+        i_cont[None], scalars[None], meta[None], u_cont[None], INTERPRET
+    )[0]
+
+
+@_interior_matvec.def_vmap
+def _interior_matvec_vmap(axis_size, in_batched, i_cont, scalars, meta, u_cont):
+    ib, sb, mb, ub = in_batched
+    if not ib:
+        i_cont = jnp.broadcast_to(i_cont[None], (axis_size,) + i_cont.shape)
+    if not sb:
+        scalars = jnp.broadcast_to(scalars[None], (axis_size,) + scalars.shape)
+    if not mb:
+        meta = jnp.broadcast_to(meta[None], (axis_size,) + meta.shape)
+    if not ub:
+        u_cont = jnp.broadcast_to(u_cont[None], (axis_size,) + u_cont.shape)
+    return _run_batched_interior(i_cont, scalars, meta, u_cont, INTERPRET), True
+
+
+class AlignedOps(NamedTuple):
+    """v3 fused-kernel operator set: ONE layout for the whole iteration.
+
+    ``matvec``: C -> C application of the reduced EL operator (identical
+    semantics to ops.elop.el_matvec_reduced, mirror rows folded in-kernel).
+    ``pad_field``: interior (3, m, n) -> C (plain zero pad).
+    ``slice_field``: C -> interior.
+    """
+
+    matvec: Callable
+    pad_field: Callable
+    slice_field: Callable
+    m: int
+    n: int
+
+
+def make_aligned_ops(
+    previous_frame: jnp.ndarray,
+    speed_alpha,
+    remodelling_alpha,
+    dy_mode: str = "compat",
+) -> AlignedOps:
+    """Build the v3 interior-aligned fused operator set for one frame pair.
+
+    ``previous_frame``: the (m+2, n+2) full frame whose intensity defines
+    every EL coefficient (ref optical_flow.py:843-962)."""
+    ni, nj = previous_frame.shape
+    m, n = ni - 2, nj - 2
+    NW = _round_up(n, _LANE)
+    bm = _pick_bm(NW)
+    mp = _round_up(m, bm)
+    NI = _round_up(nj, _LANE)
+    dtype = previous_frame.dtype
+
+    i_cont = jnp.pad(previous_frame, ((0, mp + 8 - ni), (0, NI - nj)))
+    scalars = jnp.stack(
+        [
+            jnp.asarray(speed_alpha, dtype=dtype),
+            jnp.asarray(remodelling_alpha, dtype=dtype),
+        ]
+    )
+    meta = jnp.array([m, n, 1 if dy_mode == "compat" else 0], dtype=jnp.int32)
+
+    def matvec(u_c):
+        return _interior_matvec(i_cont, scalars, meta, u_c)
+
+    def pad_field(u_int):
+        return jnp.pad(u_int, ((0, 0), (0, mp - m), (0, NW - n)))
+
+    def slice_field(u_c):
+        return u_c[:, :m, :n]
+
+    return AlignedOps(
+        matvec=matvec, pad_field=pad_field, slice_field=slice_field, m=m, n=n
+    )

@@ -32,7 +32,7 @@ from opticalflow_tpu.parallel import mesh as mesh_lib
     jax.jit,
     static_argnames=(
         "dy_mode", "method", "preconditioner", "max_iterations",
-        "high_precision_reductions", "matvec_impl", "mesh",
+        "high_precision_reductions", "matvec_impl", "mesh", "gmres_restart",
     ),
 )
 def _batched_pair_solve(
@@ -49,6 +49,7 @@ def _batched_pair_solve(
     high_precision_reductions=True,
     matvec_impl="xla",
     mesh=None,
+    gmres_restart=32,
 ):
     # 'xla'/'auto': GSPMD partitions the stencil matvec automatically.
     # 'pallas': the fused kernel has no GSPMD partitioning rule, so it runs
@@ -72,6 +73,7 @@ def _batched_pair_solve(
         high_precision_reductions=high_precision_reductions,
         matvec_impl="xla",
         matvec_factory=factory,
+        gmres_restart=gmres_restart,
     )
     vmap_kwargs = {"spmd_axis_name": "frames"} if factory is not None else {}
     return jax.vmap(lambda p, c: solver(p, c, u_init), **vmap_kwargs)(
@@ -124,6 +126,7 @@ def sharded_variational_solve(
         high_precision_reductions=solver.high_precision_reductions,
         matvec_impl="pallas" if solver.matvec == "pallas" else "xla",
         mesh=mesh,
+        gmres_restart=solver.gmres_restart,
     )
     return all_u, infos
 

@@ -435,7 +435,14 @@ def fgmres(
             j=jnp.asarray(0, jnp.int32),
             est=beta,
         )
-        fin = lax.while_loop(inner_cond, inner_body, init)
+        # cap TOTAL inner iterations at max_iterations (not just at restart
+        # boundaries — bicgstab/cg cap per iteration, this matches them)
+        k_outer = s.k
+
+        def inner_cond_capped(st: Inner):
+            return jnp.logical_and(inner_cond(st), k_outer + st.j < max_iterations)
+
+        fin = lax.while_loop(inner_cond_capped, inner_body, init)
 
         # solve the (masked) triangular system R[:m,:m] y = g[:m]
         used = jnp.arange(m) < fin.j

@@ -93,8 +93,9 @@ def stencil_matvec(S: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """y[o,i,j] = sum_{q,di,dj} S[o,q,di,dj,i,j] * u[q,i+di-1,j+dj-1]
     with zero padding outside the grid.  S: (3,3,3,3,M,N), u: (3,M,N).
 
-    Kept as einsum: measured ~20% faster end-to-end than a fully unrolled
-    plane-multiply-add variant (the 81 small slices of S inhibit fusion).
+    Implemented as unrolled plane multiply-adds on the VPU — see the
+    in-body comment for the precision rationale (an einsum would route the
+    tiny (o, q) contraction through the MXU).
     """
     m, n = u.shape[1], u.shape[2]
     upad = jnp.pad(u, ((0, 0), (1, 1), (1, 1)))
@@ -370,6 +371,43 @@ def v_cycle(h: MGHierarchy, b: jnp.ndarray, n_smooth: int = 1,
     """One V(n,n)-cycle from a zero initial guess — a fixed linear operator
     usable as a Krylov preconditioner."""
     return _descend(h, 0, b, n_smooth, smoother, damp, sweeps)
+
+
+def v_cycle_aligned(h: MGHierarchy, aops, binv_c: jnp.ndarray, b_c: jnp.ndarray,
+                    n_smooth: int = 1, damp: float = 0.7,
+                    sweeps: int = 2) -> jnp.ndarray:
+    """V-cycle on the v3 fused kernel's interior-aligned container layout
+    (ops.pallas_kernels.AlignedOps): matvec is C -> C with mirror rows
+    folded in-kernel, and the fine-level damped block-Jacobi updates run
+    directly on the container (``binv_c`` is the zero-padded fine-level
+    block inverse, so padding stays exactly zero) — NO layout conversions
+    in the smoothing sweeps at all.  Only the coarse-grid correction
+    slices to the interior (restrict) and pads back (prolong), once per
+    cycle.  Mathematically identical to :func:`v_cycle` with
+    ``smoother='jacobi'`` (the initial ``matvec(0)`` is skipped because
+    A@0 = 0)."""
+    m, n = h.levels[0].shape
+    K = aops.matvec
+
+    def update(r_c):
+        return damp * apply_blocks(binv_c, r_c)
+
+    # pre-smooth from x = 0 (first sweep's residual is b itself)
+    x = update(b_c)
+    for _ in range(n_smooth * sweeps - 1):
+        x = x + update(b_c - K(x))
+    # coarse-grid correction
+    r = b_c - K(x)
+    if len(h.levels) == 1:
+        e = h.coarse_solve(aops.slice_field(r))
+    else:
+        e = _descend(h, 1, restrict(aops.slice_field(r), h.levels[1].shape),
+                     n_smooth, "jacobi", damp, sweeps)
+    x = x + aops.pad_field(prolong(e, (m, n)))
+    # post-smooth
+    for _ in range(n_smooth * sweeps):
+        x = x + update(b_c - K(x))
+    return x
 
 
 def v_cycle_padded(h: MGHierarchy, pops, b_R: jnp.ndarray, n_smooth: int = 1,

@@ -234,3 +234,33 @@ def test_viz_convergence_plots(tmp_path):
     assert (tmp_path / "conv_compound_figures.mp4").exists() or (
         tmp_path / "conv_compound_figures.gif"
     ).exists()
+
+
+def test_liu_shen_mat_conversion(tmp_path):
+    """Repaired postprocess_Liu loader (the reference version ships broken,
+    ref analysis/postprocess_Liu.py:38-59): single-pair 'ux'/'uy' fields
+    and per-frame cell-array exports both land in the FlowResult contract."""
+    import scipy.io
+
+    from opticalflow_tpu.io.interop import convert_liu_result, load_mat
+
+    rng = np.random.default_rng(3)
+    ux = rng.normal(size=(7, 9))
+    uy = rng.normal(size=(7, 9))
+    path = tmp_path / "Liu_method.mat"
+    scipy.io.savemat(path, {"ux": ux, "uy": uy})
+
+    res = convert_liu_result(load_mat(str(path)), movie_shape=(2, 7, 9),
+                             delta_x=0.5, delta_t=2.0)
+    assert res["v_x"].shape == (1, 7, 9)
+    np.testing.assert_allclose(res["v_x"][0], ux * 0.25)
+    np.testing.assert_allclose(res["speed"], np.hypot(res["v_x"], res["v_y"]))
+    assert res.delta_x == 0.5
+
+    # shape validation against the source movie (what the reference's
+    # actin_movie-shaped zero arrays were for)
+    import pytest
+    with pytest.raises(ValueError):
+        convert_liu_result({"ux": ux, "uy": uy}, movie_shape=(2, 5, 5))
+    with pytest.raises(KeyError):
+        convert_liu_result({"wrong": ux})

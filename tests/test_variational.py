@@ -164,3 +164,22 @@ def test_fgmres_f32_matches_bicgstab_f32(small_movie):
     )
     assert bool(info_g["converged"]) and bool(info_b["converged"])
     np.testing.assert_allclose(np.asarray(u_g), np.asarray(u_b), atol=2e-4)
+
+
+def test_warm_start_two_pass_matches_cold_when_converged(small_movie):
+    """'two-pass' (SURVEY section 2.4 middle ground: pair 0 solo, rest
+    batched from its solution) must land on the same converged solution as
+    'cold', and pairs 1+ should not need MORE iterations than pair 0's
+    cold start on this smoothly-translating movie."""
+    movie, delta_x = small_movie
+    kwargs = dict(delta_x=delta_x, speed_alpha=100.0, remodelling_alpha=100.0,
+                  solver=SolverConfig(rtol=1e-12))
+    res_cold = variational_optical_flow(movie, warm_start="cold", **kwargs)
+    res_tp = variational_optical_flow(movie, warm_start="two-pass", **kwargs)
+    np.testing.assert_allclose(res_tp["v_x"], res_cold["v_x"], rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(res_tp["remodelling"], res_cold["remodelling"],
+                               rtol=1e-4, atol=1e-7)
+    assert res_tp["converged_all"].all()
+    assert res_tp["iterations"].shape == res_cold["iterations"].shape
+    # the broadcast warm start removes Krylov work from the batched pairs
+    assert int(res_tp["iterations"][1:].max()) <= int(res_cold["iterations"].max())
