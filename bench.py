@@ -3,22 +3,46 @@
 North-star metric (BASELINE.json): frame-pairs/sec on the flagship
 variational solve, plus flow EPE vs the f64 reference solution.
 
-Workload: config-3 analogue — a batch of frame pairs of a 256^2 synthetic
-movie (the repo ships no data; BASELINE.md: the CPU baseline must be
-measured, not quoted), full variational solve at practice-scale
-regularisation, compat dy mode.
+Round-4 redesign (VERDICT r3 items #1-#5) — the harness must be
+un-killable and tunnel-proof:
+
+* **Budgeted.** Every section checks a wall-clock budget
+  (``BENCH_BUDGET_S``, default 500 s) before starting and is skipped —
+  and recorded as skipped — if it does not fit.  A SIGTERM/SIGALRM
+  safety handler prints the JSON assembled so far, so even an external
+  kill cannot destroy the round's metric (r3 lost its record to rc 124).
+* **Transfer-hygiene.**  The axon tunnel's device->host path is flaky
+  (measured: sporadic multi-second stalls; one 256 KB fetch took 70 s
+  while upload ran at >40 MB/s).  All heavy operands flow host->device;
+  EPE is computed ON DEVICE against an uploaded f64-oracle field and
+  only scalars / tiny arrays come back.  Device-resident throughput
+  (device inputs, timed to completion) is the headline; end-to-end
+  (host array in) is reported alongside.
+* **Compile-cache warm.**  jax's persistent compilation cache is pointed
+  at ``.jax_cache/`` in the repo, so a bench run after any prior run (or
+  after the test/dev sessions that built the cache) skips the ~2-3 min
+  remote AOT compiles entirely.
+
+Workload: config-3 analogue — a 12-pair batch of a 256^2 synthetic movie
+(the repo ships no data; BASELINE.md: the CPU baseline must be measured,
+not quoted), full variational solve at practice-scale regularisation,
+compat dy mode, production defaults (warm_start='two-pass',
+refinement_exit_factor=0.1 — both tuned on-chip, see bench/refine_tune.py
+and bench/warmstart_probe.py).
 
 The CPU baseline is a faithful re-run harness of the reference pipeline
 (/root/reference/source/optical_flow.py:829-1157): per frame pair,
-vectorized assembly of the same 3N^2 sparse system + ILU-preconditioned
-BiCGStab in float64 (scipy stands in for PETSc bcgs + composite
-bjacobi/ilu/hypre, with the same rtol; numba/petsc4py are not installed in
-this image).  The vectorized assembly is *faster* than the reference's
-lil-matrix writes, so the reported speedup is conservative.
+vectorized assembly of the same 3N^2 sparse system in float64 solved with
+SuperLU spsolve — the reference's own ``use_direct_solver`` path (ref
+:1147; scipy ILU hits structurally zero pivots on these systems, and
+numba/petsc4py are not installed in this image).  The vectorized assembly
+is *faster* than the reference's lil-matrix writes, so the reported
+speedup is conservative.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -32,6 +56,38 @@ ALPHA_S = 1000.0
 ALPHA_R = 1000.0
 RTOL = 1e-6
 CPU_BASELINE_PAIRS = 1
+EXIT_FACTOR = 0.1  # refinement exit (SolverConfig default; tuned on-chip)
+HBM_PEAK_GBPS = 819.0  # TPU v5e
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "500"))
+_T0 = time.time()
+
+RESULT = {
+    "metric": f"variational_flow_{DIM}x{DIM}_frame_pairs_per_sec",
+    "value": None,
+    "unit": "frame-pairs/s",
+    "vs_baseline": None,
+}
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - _T0)
+
+
+def _emit_and_exit(signum, frame):
+    RESULT["interrupted_at_s"] = round(time.time() - _T0, 1)
+    print(json.dumps(RESULT), flush=True)
+    os._exit(0)
+
+
+def _install_safety():
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGALRM, _emit_and_exit)
+    signal.alarm(int(BUDGET_S) + 90)
+
+
+def _log(msg):
+    print(f"# [{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def make_movie(n_frames, dim, dtype):
@@ -47,48 +103,6 @@ def make_movie(n_frames, dim, dtype):
     # then measures pure solver error, not synthetic-data rounding.
     movie = np.asarray(np.asarray(movie, np.float64) * 100.0, np.float32)
     return movie.astype(np.float64), delta_x
-
-
-def bench_tpu(movie):
-    import jax
-    import jax.numpy as jnp
-    from opticalflow_tpu.flow.variational import _solve_movie
-
-    def run(mov):
-        args = (
-            jnp.asarray(mov, dtype=jnp.float32),
-            jnp.zeros((3, movie.shape[1], movie.shape[2]), jnp.float32),
-            jnp.float32(ALPHA_S),
-            jnp.float32(ALPHA_R),
-            "compat",
-            "bicgstab",
-            "multigrid",
-            RTOL,
-            1000,
-            True,
-            "cold",
-        )
-        all_u, infos = _solve_movie(*args)
-        jax.block_until_ready(all_u)
-        return all_u, infos
-
-    # warm-up / compile
-    run(movie)
-    # timed steady-state runs; inputs perturbed per rep so no layer of the
-    # remote-execution stack can dedupe repeated identical computations,
-    # median so tunnel latency outliers don't skew the number
-    rng = np.random.default_rng(0)
-    n_rep = 5
-    times = []
-    for _ in range(n_rep):
-        mov = movie + rng.normal(0.0, 1e-4, movie.shape)
-        t0 = time.perf_counter()
-        run(mov)
-        times.append(time.perf_counter() - t0)
-    all_u, infos = run(movie)
-    dt = float(np.median(times))
-    n_pairs = movie.shape[0] - 1
-    return n_pairs / dt, np.asarray(all_u), np.asarray(infos["iterations"])
 
 
 def numpy_pair_data(prev, cur, a_s, a_r):
@@ -131,40 +145,6 @@ def numpy_pair_data(prev, cur, a_s, a_r):
     return coeffs, rhs
 
 
-def bench_cpu_reference(movie, n_pairs):
-    """Reference-pipeline harness, f64: vectorized assembly + sparse solve
-    per pair.  scipy ILU hits structurally zero pivots on these systems
-    (zero-intensity regions), so the solve leg is SuperLU spsolve — the
-    reference's own ``use_direct_solver`` path (ref :1147); assembly here
-    is ~100x faster than the reference's lil-matrix writes, so the
-    reported speedup remains conservative."""
-    import scipy.sparse.linalg as spla
-
-    from opticalflow_tpu.solve.direct import assemble_el_matrix, fields_to_flat
-
-    t0 = time.perf_counter()
-    for k in range(n_pairs):
-        coeffs, rhs = numpy_pair_data(movie[k], movie[k + 1], ALPHA_S, ALPHA_R)
-        mat = assemble_el_matrix(coeffs, movie.shape[1], movie.shape[2]).tocsc()
-        x = spla.spsolve(mat, fields_to_flat(rhs))
-    dt = time.perf_counter() - t0
-    return n_pairs / dt
-
-
-def compute_epe(movie, u_tpu):
-    """EPE of the f32 device solution vs the f64 assembled direct solve."""
-    import scipy.sparse.linalg as spla
-
-    from opticalflow_tpu.solve.direct import assemble_el_matrix, fields_to_flat, flat_to_fields
-
-    coeffs, rhs = numpy_pair_data(movie[0], movie[1], ALPHA_S, ALPHA_R)
-    mat = assemble_el_matrix(coeffs, movie.shape[1], movie.shape[2]).tocsr()
-    x = spla.spsolve(mat, fields_to_flat(rhs))
-    u_ref = flat_to_fields(x, movie.shape[1], movie.shape[2])
-    d = u_tpu[0] - u_ref
-    return float(np.sqrt(d[0] ** 2 + d[1] ** 2)[1:-1, 1:-1].max())
-
-
 def _direct_f64_fields(movie, k=0):
     """f64 assembled spsolve oracle fields for pair k of ``movie``."""
     import scipy.sparse.linalg as spla
@@ -177,88 +157,315 @@ def _direct_f64_fields(movie, k=0):
     return flat_to_fields(x, movie.shape[1], movie.shape[2])
 
 
-def _epe_vs_direct(movie, u_pair0):
-    u_ref = _direct_f64_fields(movie, 0)
-    d = np.asarray(u_pair0) - u_ref
-    return float(np.sqrt(d[0] ** 2 + d[1] ** 2)[1:-1, 1:-1].max())
+def bench_cpu_reference(movie, n_pairs):
+    """Reference-pipeline harness, f64: vectorized assembly + SuperLU
+    spsolve per pair (see module docstring)."""
+    import scipy.sparse.linalg as spla
+
+    from opticalflow_tpu.solve.direct import assemble_el_matrix, fields_to_flat
+
+    t0 = time.perf_counter()
+    for k in range(n_pairs):
+        coeffs, rhs = numpy_pair_data(movie[k], movie[k + 1], ALPHA_S, ALPHA_R)
+        mat = assemble_el_matrix(coeffs, movie.shape[1], movie.shape[2]).tocsc()
+        spla.spsolve(mat, fields_to_flat(rhs))
+    return n_pairs / (time.perf_counter() - t0)
 
 
-def _tpu_batch_run(movie, n_rep=2):
-    """Solve all pairs of ``movie`` on the session backend (cold-start
-    vmap, production settings); return (pairs/s, fields, iters, converged)."""
+# ---------------------------------------------------------------------------
+# Core section (must complete): 12-pair 256^2 batch, production defaults
+# ---------------------------------------------------------------------------
+
+
+def _movie_runner(warm_start, gmres_restart=32):
     import jax
     import jax.numpy as jnp
     from opticalflow_tpu.flow.variational import _solve_movie
 
-    u0 = jnp.zeros((3, movie.shape[1], movie.shape[2]), jnp.float32)
-
-    def run(mov):
+    def run(mov, u0):
         all_u, infos = _solve_movie(
-            jnp.asarray(mov, jnp.float32), u0, jnp.float32(ALPHA_S),
-            jnp.float32(ALPHA_R), "compat", "bicgstab", "multigrid", RTOL,
-            1000, True, "cold",
+            mov, u0, jnp.float32(ALPHA_S), jnp.float32(ALPHA_R),
+            "compat", "auto", "multigrid", RTOL, 1000, True, warm_start,
+            "auto", 8, 300.0, 0.2, gmres_restart, EXIT_FACTOR,
         )
-        jax.block_until_ready(all_u)
         return all_u, infos
 
-    run(movie)  # compile
-    rng = np.random.default_rng(1)
+    return run
+
+
+def core_section(movie):
+    import jax
+    import jax.numpy as jnp
+
+    run = _movie_runner("two-pass")
+    u0 = jnp.zeros((3, movie.shape[1], movie.shape[2]), jnp.float32)
+
+    # device-resident inputs, perturbed per-variant so no layer of the
+    # remote-execution stack can dedupe repeated identical computations
+    rng = np.random.default_rng(0)
+    movs = [jax.device_put(jnp.asarray(movie, jnp.float32))]
+    for _ in range(3):
+        movs.append(jax.device_put(
+            jnp.asarray(movie + rng.normal(0, 1e-4, movie.shape), jnp.float32)))
+
+    t0 = time.perf_counter()
+    all_u, infos = run(movs[0], u0)
+    jax.block_until_ready(all_u)
+    compile_s = time.perf_counter() - t0
+    _log(f"core compile+first run: {compile_s:.1f}s")
+
+    # device-resident throughput (the tunnel-independent number)
     times = []
-    for _ in range(n_rep):
-        mov = movie + rng.normal(0.0, 1e-4, movie.shape)
+    for rep in range(6):
         t0 = time.perf_counter()
-        run(mov)
+        all_u, _ = run(movs[rep % len(movs)], u0)
+        jax.block_until_ready(all_u)
         times.append(time.perf_counter() - t0)
-    all_u, infos = run(movie)
-    dt = float(np.median(times))
+    dev_med = float(np.median(times))
+    dev_best = float(np.min(times))
+
+    # end-to-end: host f64 array in (f32 convert + upload + solve)
+    e2e_times = []
+    for rep in range(2):
+        mov_host = movie + rng.normal(0, 1e-4, movie.shape)
+        t0 = time.perf_counter()
+        all_u, _ = run(jnp.asarray(mov_host, jnp.float32), u0)
+        jax.block_until_ready(all_u)
+        e2e_times.append(time.perf_counter() - t0)
+    e2e = float(np.median(e2e_times))
+
+    all_u, infos = run(movs[0], u0)
+    iters = np.asarray(infos["iterations"])
+    conv = np.asarray(infos["converged"])
+
     n_pairs = movie.shape[0] - 1
-    return (
-        n_pairs / dt,
-        np.asarray(all_u),
-        np.asarray(infos["iterations"]),
-        np.asarray(infos["converged"]),
-    )
+    RESULT["value"] = round(n_pairs / dev_med, 3)
+    RESULT["device_pairs_per_sec_best"] = round(n_pairs / dev_best, 3)
+    RESULT["end_to_end_pairs_per_sec"] = round(n_pairs / e2e, 3)
+    RESULT["warm_start"] = "two-pass"
+    RESULT["iterations"] = [int(v) for v in iters]
+    RESULT["converged_pairs"] = f"{int(conv.sum())}/{conv.size}"
+    RESULT["compile_s"] = round(compile_s, 1)
+    _log(f"core: {RESULT['value']} pairs/s device (best {RESULT['device_pairs_per_sec_best']}), "
+         f"{RESULT['end_to_end_pairs_per_sec']} end-to-end, iters={RESULT['iterations']}")
+
+    # EPE of a BATCHED pair (pair 1 — pair 0 is the two-pass solo pass)
+    # against its own f64 assembled direct solve, computed on device
+    u_ref1 = _direct_f64_fields(movie, 1)
+    ref1 = jax.device_put(jnp.asarray(u_ref1, jnp.float32))
+
+    @jax.jit
+    def epe_dev(u, ref):
+        d = u - ref
+        return jnp.sqrt(d[0] ** 2 + d[1] ** 2)[1:-1, 1:-1].max()
+
+    epe = float(epe_dev(all_u[1], ref1))
+    RESULT["epe_px_vs_f64_direct"] = epe
+    RESULT["epe_pair"] = "pair1 (batched path)"
+    _log(f"EPE (batched pair 1) vs f64 direct: {epe:.2e} px")
+    return all_u
 
 
-def reference_scale_workloads():
-    """BASELINE.md workload anchors measured at the reference's real scale
-    (VERDICT r2 item #2): the 1024^2 embryo pair
-    (/root/reference/analysis/analyse_variational_optical_flow.py:203-205),
-    a 50-pair 512^2 stack (config 3), and a 300-solve batched
-    regularisation sweep (config 5,
-    /root/reference/analysis/analyse_variational_optical_flow.py:292-296).
-    """
-    out = {}
+def cpu_baseline_section(movie):
+    cpu_fps = bench_cpu_reference(movie, CPU_BASELINE_PAIRS)
+    RESULT["cpu_baseline_pairs_per_sec"] = round(cpu_fps, 4)
+    RESULT["vs_baseline"] = round(RESULT["value"] / cpu_fps, 2)
+    _log(f"cpu reference harness: {cpu_fps:.3f} pairs/s -> "
+         f"vs_baseline {RESULT['vs_baseline']}x")
 
-    # -- embryo anchor: one 1024^2 pair (3.1M unknowns) --
+
+# ---------------------------------------------------------------------------
+# Extended sections (budget-gated, skipped-and-recorded if they don't fit)
+# ---------------------------------------------------------------------------
+
+
+def stencil_bandwidth_section(movie):
+    """Speed-of-light check of the hot stencil matvec (VERDICT r3 #5).
+
+    Method: chain ``x <- 1e-3 * A(A(x))`` inside one jitted scan at two
+    lengths (100 / 500) and DIFFERENCE the wall times — the axon tunnel
+    adds ~20 ms of fixed dispatch latency per call, which differencing
+    cancels exactly.  Measured for BOTH implementations:
+
+    * XLA fused stencil ('auto'): actual traffic ~19 planes/application
+      (13 precomputed coefficient planes + 3 in + 3 out);
+    * fused Pallas kernel: ~7 planes (coefficients rebuilt on the VPU).
+
+    The headline ``stencil_bandwidth_utilization`` is the XLA stencil's
+    achieved fraction of HBM peak on its actual traffic — the roofline
+    evidence BASELINE config 4 asks for.  The Pallas kernel's number is
+    reported against its own 7-plane model; it is VPU-compute-bound
+    (coefficient rebuild + mirror-fold selects cost more VPU time than
+    the saved HBM traffic), which is why 'auto' resolves to XLA."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from opticalflow_tpu.ops import elop, pallas_kernels
+
+    batch = movie.shape[0] - 1
+    rng = np.random.default_rng(7)
+    prevs = [
+        jax.device_put(jnp.asarray(
+            movie[:-1] + rng.normal(0, 1e-4, (batch,) + movie.shape[1:]),
+            jnp.float32))
+        for _ in range(3)
+    ]
+
+    def chain_fn(impl, n_inner):
+        @jax.jit
+        def chain(prev):
+            def per_pair(p):
+                s = jnp.max(jnp.abs(p))
+                a_sn = jnp.float32(ALPHA_S) / s**2
+                if impl == "pallas":
+                    aops = pallas_kernels.make_aligned_ops(
+                        p / s, a_sn, jnp.float32(ALPHA_R))
+                    mv = aops.matvec
+                    x0 = aops.pad_field(
+                        jnp.ones((3, DIM - 2, DIM - 2), jnp.float32))
+                else:
+                    pair = elop.compute_frame_pair_data(
+                        p / s, p / s, a_sn, jnp.float32(ALPHA_R), "compat")
+                    mv = lambda c: elop.el_matvec_reduced(pair.coeffs, c)
+                    x0 = jnp.ones((3, DIM - 2, DIM - 2), jnp.float32)
+
+                def body(x, _):
+                    return 1e-3 * mv(mv(x)), None
+
+                x, _ = lax.scan(body, x0, None, length=n_inner)
+                return x
+
+            return jax.vmap(per_pair)(prev)
+
+        return chain
+
+    plane = DIM * DIM * 4
+    rec = {"hbm_peak_gbps": HBM_PEAK_GBPS,
+           "method": "differenced 100/500-application chains (dispatch latency cancels)"}
+    for impl, planes in (("xla", 19), ("pallas", 7)):
+        times = {}
+        for n_inner in (100, 500):
+            ch = chain_fn(impl, n_inner)
+            jax.block_until_ready(ch(prevs[0]))
+            best = float("inf")
+            for k in range(2):
+                t0 = time.perf_counter()
+                jax.block_until_ready(ch(prevs[1 + k]))
+                best = min(best, time.perf_counter() - t0)
+            times[n_inner] = best
+        per_app = (times[500] - times[100]) / (400 * 2)
+        gbps = batch * planes * plane / per_app / 1e9
+        rec[impl] = {
+            "us_per_batched_application": round(per_app * 1e6, 1),
+            "traffic_model_planes": planes,
+            "achieved_gbps": round(gbps, 1),
+            "fraction_of_peak": round(gbps / HBM_PEAK_GBPS, 3),
+        }
+        _log(f"stencil[{impl}]: {per_app*1e6:.1f} us/app -> {gbps:.0f} GB/s "
+             f"= {100*gbps/HBM_PEAK_GBPS:.0f}% of v5e peak ({planes}-plane model)")
+    RESULT["stencil_kernel"] = rec
+    RESULT["stencil_bandwidth_utilization"] = rec["xla"]["fraction_of_peak"]
+
+
+def embryo_1024_section():
+    """BASELINE config-2 scale anchor: one 1024^2 pair (3.1M unknowns,
+    /root/reference/analysis/analyse_variational_optical_flow.py:203-205),
+    method='auto' -> FGMRES+MG (the measured-safe large-grid solver)."""
+    import jax
+    import jax.numpy as jnp
+    from opticalflow_tpu.flow.variational import resolve_method, solve_frame_pair
+
     movie, _ = make_movie(2, 1024, np.float64)
-    fps, u, iters, conv = _tpu_batch_run(movie)
-    rec = {
-        "pairs_per_sec": round(fps, 3),
-        "iterations": [int(v) for v in iters],
-        "converged": bool(conv.all()),
-    }
-    try:
-        rec["epe_px_vs_f64_direct"] = _epe_vs_direct(movie, u[0])
-    except MemoryError:
-        rec["epe_px_vs_f64_direct"] = None
-    out["embryo_1024x1024_single_pair"] = rec
-    print(f"# 1024^2: {rec}", file=sys.stderr)
+    prev = jax.device_put(jnp.asarray(movie[0], jnp.float32))
+    cur = jax.device_put(jnp.asarray(movie[1], jnp.float32))
+    u0 = jnp.zeros((3, 1024, 1024), jnp.float32)
 
-    # -- config 3: 50-pair 512^2 stack batched on one chip --
-    movie, _ = make_movie(51, 512, np.float64)
-    fps, u, iters, conv = _tpu_batch_run(movie)
+    @jax.jit
+    def solve(p, c):
+        return solve_frame_pair(
+            p, c, u0, jnp.float32(ALPHA_S), jnp.float32(ALPHA_R),
+            method="auto", refinement_exit_factor=EXIT_FACTOR,
+        )
+
+    t0 = time.perf_counter()
+    u, info = solve(prev, cur)
+    jax.block_until_ready(u)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    u, info = solve(prev + 1e-4, cur)
+    jax.block_until_ready(u)
+    solve_s = time.perf_counter() - t0
     rec = {
-        "pairs_per_sec": round(fps, 3),
+        "method": resolve_method("auto", 1022, 1022),
+        "pairs_per_sec": round(1.0 / solve_s, 3),
+        "iterations": int(info["iterations"]),
+        "converged": bool(info["converged"]),
+        "residual_rel": float(info["residual_norm"]),
+        "compile_s": round(compile_s, 1),
+    }
+    # f64 spsolve at 3.1M unknowns can exhaust memory or run for hours —
+    # only attempted when explicitly requested (ADVICE r3 #4's cutoff);
+    # convergence is judged on the df32 true residual instead.
+    if os.environ.get("BENCH_EPE_1024", "0") == "1":
+        try:
+            u_ref = _direct_f64_fields(movie, 0)
+            d = np.asarray(u) - u_ref
+            rec["epe_px_vs_f64_direct"] = float(
+                np.sqrt(d[0] ** 2 + d[1] ** 2)[1:-1, 1:-1].max())
+        except Exception as err:  # noqa: BLE001 — host oracle is best-effort here
+            rec["epe_px_vs_f64_direct"] = f"oracle failed: {type(err).__name__}"
+    RESULT.setdefault("reference_scale", {})["embryo_1024x1024_single_pair"] = rec
+    _log(f"1024^2: {rec}")
+
+
+def stack_512_section():
+    """BASELINE config-3 at reference scale: 50-pair 512^2 stack batched
+    on one chip (method='auto' -> FGMRES at this size)."""
+    import jax
+    import jax.numpy as jnp
+
+    movie, _ = make_movie(51, 512, np.float64)
+    # restart 12: FGMRES keeps ~2*restart solution-size vectors per
+    # concurrently solved pair — restart 32 would need ~10 GB of HBM for
+    # the 50-pair 512^2 batch (the SolverConfig.gmres_restart guidance)
+    run = _movie_runner("two-pass", gmres_restart=12)
+    u0 = jnp.zeros((3, 512, 512), jnp.float32)
+    mov = jax.device_put(jnp.asarray(movie, jnp.float32))
+
+    t0 = time.perf_counter()
+    all_u, infos = run(mov, u0)
+    jax.block_until_ready(all_u)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    all_u, infos = run(mov + 1e-4, u0)
+    jax.block_until_ready(all_u)
+    solve_s = time.perf_counter() - t0
+    iters = np.asarray(infos["iterations"])
+    conv = np.asarray(infos["converged"])
+    rec = {
+        "pairs_per_sec": round(50 / solve_s, 3),
         "iterations_median": int(np.median(iters)),
         "iterations_max": int(iters.max()),
         "converged_pairs": f"{int(conv.sum())}/{conv.size}",
-        "epe_px_vs_f64_direct_pair0": _epe_vs_direct(movie, u[0]),
+        "compile_s": round(compile_s, 1),
     }
-    out["stack_50pairs_512x512"] = rec
-    print(f"# 50x512^2: {rec}", file=sys.stderr)
+    if _remaining() > 240:
+        try:
+            u_ref = _direct_f64_fields(movie, 1)
+            ref1 = jax.device_put(jnp.asarray(u_ref, jnp.float32))
+            d = all_u[1] - ref1
+            rec["epe_px_vs_f64_direct_pair1"] = float(
+                jnp.sqrt(d[0] ** 2 + d[1] ** 2)[1:-1, 1:-1].max())
+        except Exception as err:  # noqa: BLE001
+            rec["epe_px_vs_f64_direct_pair1"] = f"oracle failed: {type(err).__name__}"
+    RESULT.setdefault("reference_scale", {})["stack_50pairs_512x512"] = rec
+    _log(f"50x512^2: {rec}")
 
-    # -- config 5: 300-solve regularisation sweep as one batched computation --
+
+def sweep_section():
+    """BASELINE config-5 analogue: a 300-solve regularisation sweep as one
+    batched on-device computation (ref
+    analyse_variational_optical_flow.py:292-296)."""
     from opticalflow_tpu.analysis.sweeps import vary_regularisation
     from opticalflow_tpu.core.types import SolverConfig
 
@@ -267,9 +474,7 @@ def reference_scale_workloads():
     a_s = np.logspace(1, 5, 15)
     a_r = np.logspace(1, 5, 20)
     cfg = SolverConfig(rtol=RTOL)
-    res = vary_regularisation(  # compile
-        movie32, a_s, a_r, batched=True, solver=cfg
-    )
+    vary_regularisation(movie32, a_s, a_r, batched=True, solver=cfg)  # compile
     t0 = time.perf_counter()
     res = vary_regularisation(movie32 + 1e-4, a_s, a_r, batched=True, solver=cfg)
     dt = time.perf_counter() - t0
@@ -280,57 +485,50 @@ def reference_scale_workloads():
         "solves_per_sec": round(n_solves / dt, 2),
         "converged_cells": f"{int(np.sum(res['converged']))}/{n_solves}",
     }
-    out["sweep_300_solves_128x128"] = rec
-    print(f"# sweep: {rec}", file=sys.stderr)
-    return out
-
-
-def solver_phase_timings(movie):
-    """Per-phase wall-clock profile of one production 256^2 solve
-    (VERDICT r2 item #8 — closes SURVEY §5's per-phase tracing)."""
-    from opticalflow_tpu.flow.variational import profile_solve_phases
-
-    phases = profile_solve_phases(
-        np.asarray(movie[0], np.float32), np.asarray(movie[1], np.float32),
-        ALPHA_S, ALPHA_R, reps=2,
-    )
-    return {k: round(v, 5) for k, v in phases.items()}
+    RESULT.setdefault("reference_scale", {})["sweep_300_solves_128x128"] = rec
+    _log(f"sweep: {rec}")
 
 
 def main():
+    _install_safety()
+    # warm persistent compile cache (works through the axon remote-compile
+    # path — measured: second-process compile 0.1s vs 60s+ cold)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     movie, _ = make_movie(N_PAIRS + 1, DIM, np.float64)
 
-    tpu_fps, u_tpu, iters = bench_tpu(movie)
-    print(f"# tpu: {tpu_fps:.3f} pairs/s, iters={iters}", file=sys.stderr)
+    core_section(movie)
+    cpu_baseline_section(movie)
 
-    cpu_fps = bench_cpu_reference(movie, CPU_BASELINE_PAIRS)
-    print(f"# cpu reference harness: {cpu_fps:.3f} pairs/s", file=sys.stderr)
+    # extended sections, cheapest-first cost estimates (measured with a
+    # warm compile cache; a cold cache inflates each by its compile time,
+    # which the budget check absorbs by skipping later sections)
+    skipped = []
+    for name, fn, est in (
+        ("stencil_kernel", lambda: stencil_bandwidth_section(movie), 45),
+        ("embryo_1024", embryo_1024_section, 90),
+        ("stack_512", stack_512_section, 120),
+        ("sweep_300", sweep_section, 60),
+    ):
+        if _remaining() < est:
+            skipped.append(name)
+            _log(f"SKIP {name}: {_remaining():.0f}s left < {est}s estimate")
+            continue
+        try:
+            fn()
+        except Exception as err:  # noqa: BLE001 — never lose the core metric
+            RESULT.setdefault("section_errors", {})[name] = repr(err)
+            _log(f"ERROR in {name}: {err!r}")
+    if skipped:
+        RESULT["skipped_budget"] = skipped
 
-    epe = compute_epe(movie, u_tpu)
-    print(f"# EPE vs f64 direct: {epe:.2e} px", file=sys.stderr)
-
-    phases = solver_phase_timings(movie)
-    print(f"# phase timings: {phases}", file=sys.stderr)
-
-    if os.environ.get("BENCH_SKIP_REFERENCE_SCALE", "0") == "1":
-        reference_scale = None
-    else:
-        reference_scale = reference_scale_workloads()
-
-    print(
-        json.dumps(
-            {
-                "metric": f"variational_flow_{DIM}x{DIM}_frame_pairs_per_sec",
-                "value": round(tpu_fps, 3),
-                "unit": "frame-pairs/s",
-                "vs_baseline": round(tpu_fps / cpu_fps, 2),
-                "epe_px_vs_f64_direct": epe,
-                "cpu_baseline_pairs_per_sec": round(cpu_fps, 3),
-                "phase_timings_s_256": phases,
-                "reference_scale": reference_scale,
-            }
-        )
-    )
+    RESULT["elapsed_s"] = round(time.time() - _T0, 1)
+    print(json.dumps(RESULT), flush=True)
 
 
 if __name__ == "__main__":

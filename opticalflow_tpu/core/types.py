@@ -127,10 +127,13 @@ class SolverConfig:
     """Krylov solver configuration (the TPU-native analogue of the PETSc
     option strings at ref optical_flow.py:1080-1093, 1117-1126)."""
 
-    # 'gmres' is flexible GMRES(32) — monotone and breakdown-free, the
-    # robust choice at large grids where f32 BiCGStab recurrences collapse
-    # (see solve.krylov.fgmres); 'bicgstab' matches the reference's KSP.
-    method: str = "bicgstab"  # 'bicgstab' | 'gmres' | 'cg' | 'direct'
+    # 'auto' picks BiCGStab below 500 interior points on the longest axis
+    # and flexible GMRES(restart)+MG at/above it — where the f32 BiCGStab
+    # recurrences are measured to collapse (see solve.krylov.fgmres and
+    # flow.variational.resolve_method).  'bicgstab' matches the
+    # reference's KSP choice exactly; 'gmres' is the monotone,
+    # breakdown-free large-grid solver.
+    method: str = "auto"  # 'auto' | 'bicgstab' | 'gmres' | 'cg'
     rtol: float = 1e-6  # relative tolerance on the unpreconditioned residual
     atol: float = 0.0
     max_iterations: int = 1000
@@ -171,12 +174,17 @@ class SolverConfig:
     # FGMRES restart length (memory: ~2*restart solution-size vectors per
     # concurrently solved pair — lower it for large batched stacks).
     gmres_restart: int = 32
-    # Matvec implementation: 'auto' picks the fused Pallas kernel on a TPU
-    # backend when the image width fits its tiling, else the XLA stencil.
-    # In the sharded paths, 'auto' resolves to the GSPMD-partitioned XLA
-    # stencil and an explicit 'pallas' runs the fused kernel as a
-    # shard_map with ppermute halo exchange (parallel.pallas_spmd).
-    matvec: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # Matvec implementation.  'auto' resolves to the XLA stencil — on-chip
+    # differenced-chain measurements show XLA's fusion at ~90% of HBM peak
+    # on its actual traffic and slightly ahead of the fused Pallas kernel
+    # (VPU-bound from on-the-fly coefficient rebuild) at both kernel and
+    # full-solve level; see flow.variational._resolve_matvec_impl.
+    # 'pallas' forces the fused kernel.  In the sharded paths, 'xla'/'auto'
+    # run the one-exchange-per-application shard_map stencil when the
+    # interior divides the mesh, 'pallas' the fused kernel under the same
+    # halo exchange, and 'gspmd' the fully automatic partitioning
+    # (parallel.batch / parallel.pallas_spmd).
+    matvec: str = "auto"  # 'auto' | 'xla' | 'pallas' | 'gspmd' (sharded)
 
 
 @dataclasses.dataclass(frozen=True)

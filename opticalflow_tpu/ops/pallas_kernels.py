@@ -392,13 +392,23 @@ def _pick_bm(nw: int) -> int:
 
 
 def _el_matvec_interior_kernel(
-    scalars_ref, meta_ref, i_hbm, u_hbm, out_ref, i_tile, u_tile, sems, *, bm
+    scalars_ref, meta_ref, i_cur, i_next, u_prev, u_cur, u_next, out_ref, *, bm
 ):
     """One (batch, row-block) tile of the fused EL matvec, interior layout.
 
-    ``i_hbm``: (B, mp+8, NI) previous-frame plane, full (m+2, n+2) frame
-    at the origin.  ``u_hbm``: (B, 3, mp, NW) interior container C.
-    Output block: (1, 3, bm, NW) rows ``[j*bm, j*bm+bm)`` of C.
+    v4 (round 4): PIPELINED — all operands arrive through BlockSpec views
+    so Mosaic double-buffers the HBM traffic behind compute (the v3
+    manual-DMA kernel serialised DMA -> wait -> compute per tile and
+    measured only ~12% of HBM peak).  The row halo comes from 8-row
+    *sliver views* of the same arrays at shifted block indices, so per
+    application the true traffic stays ~7 planes (I + 3 in + 3 out).
+
+    ``i_cur``/(1, bm, NI) + ``i_next``/(1, 8, NI): previous-frame plane
+    rows [j*bm, j*bm+bm) and [j*bm+bm, +8).  ``u_prev``/``u_next``
+    (1, 3, 8, NW): container C rows [j*bm-8, j*bm) / [j*bm+bm, +8)
+    (clamped at the array ends — the clamped rows are only read where the
+    mirror selects or the validity mask discard them).  ``u_cur``:
+    (1, 3, bm, NW).  Output block: (1, 3, bm, NW) rows [j*bm, j*bm+bm).
 
     The reduced-system mirror semantics (ops.elop.extend_interior) are
     applied to the field reads in-kernel: reads of interior row -1 select
@@ -407,32 +417,8 @@ def _el_matvec_interior_kernel(
     """
     b = pl.program_id(0)
     j = pl.program_id(1)
-    mp = u_hbm.shape[2]
-    NW = u_hbm.shape[3]
-    NI = i_hbm.shape[2]
-    size_rows_u = min(bm + 16, mp)
-
-    # row window [j*bm - 8, j*bm + bm + 8) clamped into the container.
-    # The clamp offset moves into the DMA *destination* (dynamic DMA
-    # offsets are cheap; dynamic vector-load offsets choke Mosaic), so
-    # container row r always lands at scratch row 16 + r - j*bm and every
-    # in-kernel read below is a static slice.
-    start_u = jnp.clip(j * bm - 8, 0, mp - size_rows_u)
-    dest_row = 16 - (j * bm - start_u)  # in {0, 8, 16}
-
-    cp_i = pltpu.make_async_copy(
-        i_hbm.at[b, pl.ds(j * bm, bm + 8), :],
-        i_tile.at[: bm + 8, :NI],
-        sems.at[0],
-    )
-    cp_u = pltpu.make_async_copy(
-        u_hbm.at[b, :, pl.ds(pl.multiple_of(start_u, 8), size_rows_u), :],
-        u_tile.at[:, pl.ds(pl.multiple_of(dest_row, 8), size_rows_u),
-                  _LANE : _LANE + NW],
-        sems.at[1],
-    )
-    cp_i.start()
-    cp_u.start()
+    NW = out_ref.shape[3]
+    NI = i_cur.shape[2]
 
     a_s = scalars_ref[b, 0]
     a_r = scalars_ref[b, 1]
@@ -440,15 +426,16 @@ def _el_matvec_interior_kernel(
     n_valid = meta_ref[b, 1]
     compat = meta_ref[b, 2]
 
-    cp_i.wait()
-    cp_u.wait()
-
-    it = i_tile[:]
+    # (bm+2, NI+2) window of I: rows [j*bm, j*bm+bm+2), 2 col slack so the
+    # +1/+2 col reads stay static slices (values beyond n+1 are container
+    # zeros, read only under the validity mask)
+    Ei = jnp.concatenate([i_cur[0], i_next[0, :2]], axis=0)
+    Ei = jnp.concatenate([Ei, jnp.zeros((bm + 2, 2), Ei.dtype)], axis=1)
 
     def shi(a, bb):
         # I(i+a, j+bb) for output pixel (i, j): full-frame layout, no
         # mirror needed (the frame exists at all stencil offsets)
-        return it[a : a + bm, bb : bb + NW]
+        return Ei[a : a + bm, bb : bb + NW]
 
     # --- coefficients on the fly (ops.elop.compute_frame_pair_data) ---
     I = shi(1, 1)
@@ -481,13 +468,20 @@ def _el_matvec_interior_kernel(
 
     def mk_reads(q, need_diag):
         """The 9 mirror-folded reads P[a][bb] of one field (g skips the
-        diagonals).  raw (a, bb) reads interior (i+a-1, j+bb-1): container
-        row r sits at scratch row 16 + r - j*bm, so output row k at
-        stencil offset a reads scratch row 15 + k + a — static."""
+        diagonals).  raw (a, bb) reads interior (i+a-1, j+bb-1): rows from
+        the sliver-extended window, cols from the +-1 lane-shifted copies
+        (their out-of-range lanes are garbage only where the mirror
+        selects or the validity mask discard them)."""
+        E = jnp.concatenate(
+            [u_prev[0, q, 7:8], u_cur[0, q], u_next[0, q, :1]], axis=0
+        )  # (bm+2, NW): rows [j*bm-1, j*bm+bm+1)
+        zcol = jnp.zeros((bm + 2, 1), E.dtype)
+        Lft = jnp.concatenate([zcol, E], axis=1)[:, :NW]     # col l-1
+        Rgt = jnp.concatenate([E, zcol], axis=1)[:, 1:]      # col l+1
+        by_col = {0: Lft, 1: E, 2: Rgt}
 
         def raw(a, bb):
-            return u_tile[q, 15 + a : 15 + a + bm,
-                          _LANE - 1 + bb : _LANE - 1 + bb + NW]
+            return by_col[bb][a : a + bm, :]
 
         # column-fixed planes C[a][bb]: interior col -1 -> col 1, col n -> n-2
         C = {}
@@ -570,6 +564,7 @@ def _run_batched_interior(i_cont, scalars, meta, u_cont, interpret):
     NI = i_cont.shape[2]
     bm = _pick_bm(NW)
     grid_m = mp // bm
+    sb = bm // _SUB  # sliver blocks per row block
     dtype = u_cont.dtype
 
     return pl.pallas_call(
@@ -578,20 +573,27 @@ def _run_batched_interior(i_cont, scalars, meta, u_cont, interpret):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (B, 2)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (B, 3) int32
-            pl.BlockSpec(memory_space=pl.ANY),  # I container, manual DMA
-            pl.BlockSpec(memory_space=pl.ANY),  # field container, manual DMA
+            # I rows [j*bm, j*bm+bm) + next 8-row sliver (the I container
+            # carries 8 tail rows, so the j+1 sliver never clamps)
+            pl.BlockSpec((1, bm, NI), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, _SUB, NI), lambda b, j: (b, (j + 1) * sb, 0)),
+            # field C: previous 8-row sliver, current block, next sliver
+            # (slivers clamp at the array ends; clamped rows are read only
+            # where the mirror selects / validity mask discard them)
+            pl.BlockSpec(
+                (1, 3, _SUB, NW),
+                lambda b, j: (b, 0, jnp.maximum(j * sb - 1, 0), 0),
+            ),
+            pl.BlockSpec((1, 3, bm, NW), lambda b, j: (b, 0, j, 0)),
+            pl.BlockSpec(
+                (1, 3, _SUB, NW),
+                lambda b, j: (b, 0, jnp.minimum((j + 1) * sb, grid_m * sb - 1), 0),
+            ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 3, bm, NW), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((1, 3, bm, NW), lambda b, j: (b, 0, j, 0)),
         out_shape=jax.ShapeDtypeStruct((batch, 3, mp, NW), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bm + 8, NI + _LANE), dtype),
-            pltpu.VMEM((3, bm + 32, NW + 2 * _LANE), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=interpret,
-    )(scalars, meta, i_cont, u_cont)
+    )(scalars, meta, i_cont, i_cont, u_cont, u_cont, u_cont)
 
 
 @jax.custom_batching.custom_vmap

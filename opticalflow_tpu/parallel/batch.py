@@ -51,16 +51,33 @@ def _batched_pair_solve(
     mesh=None,
     gmres_restart=32,
 ):
-    # 'xla'/'auto': GSPMD partitions the stencil matvec automatically.
-    # 'pallas': the fused kernel has no GSPMD partitioning rule, so it runs
-    # as an explicit shard_map with ppermute halo exchange over (tx, ty)
-    # (parallel.pallas_spmd); the frame-pair vmap axis is then pinned to
-    # the 'frames' mesh axis via spmd_axis_name.
+    # Matvec under spatial tiling: GSPMD partitioning of the stencil
+    # inserts a collective per shift (~51 collective-permutes per matvec,
+    # counted in HLO — the round-3 tile-axis scaling cliff), so whenever
+    # the mesh actually tiles the image the matvec runs as an explicit
+    # shard_map with ONE two-phase ppermute halo exchange per application
+    # (parallel.pallas_spmd): the fused Pallas kernel inside it when
+    # requested ('pallas'), the portable XLA stencil otherwise
+    # ('xla'/'auto').  'gspmd' keeps the fully automatic partitioning
+    # (the reference point the HLO counts were measured against).  The
+    # frame-pair vmap axis is pinned to the 'frames' mesh axis via
+    # spmd_axis_name when a factory is used.
     factory = None
+    tiled = mesh is not None and mesh.shape["tx"] * mesh.shape["ty"] > 1
+    # the manual-exchange factories shard the interior exactly; an
+    # interior that does not divide the (tx, ty) mesh falls back to GSPMD
+    divisible = tiled and (
+        (prev_frames.shape[1] - 2) % mesh.shape["tx"] == 0
+        and (prev_frames.shape[2] - 2) % mesh.shape["ty"] == 0
+    )
     if matvec_impl == "pallas":
         from opticalflow_tpu.parallel import pallas_spmd
 
         factory = functools.partial(pallas_spmd.make_sharded_kernel_matvec, mesh)
+    elif matvec_impl in ("xla", "auto") and divisible:
+        from opticalflow_tpu.parallel import pallas_spmd
+
+        factory = functools.partial(pallas_spmd.make_sharded_xla_matvec, mesh)
     solver = functools.partial(
         solve_frame_pair,
         speed_alpha=speed_alpha,
@@ -104,12 +121,30 @@ def sharded_variational_solve(
 
     prev = movie[:-1]
     cur = movie[1:]
-    sharding = mesh_lib.pair_sharding(mesh)
+    tiled = mesh.shape["tx"] * mesh.shape["ty"] > 1
+    interior_divisible = (
+        (movie.shape[1] - 2) % mesh.shape["tx"] == 0
+        and (movie.shape[2] - 2) % mesh.shape["ty"] == 0
+    )
+    if tiled and interior_divisible and solver.matvec != "gspmd":
+        # manual-exchange matvec path (see _batched_pair_solve): the
+        # shard_map tiles the INTERIOR exactly, so the (N+2)-sized frames
+        # cannot also divide the mesh — shard inputs along 'frames' only
+        # (the coefficient build is one-time) and let the factory's
+        # shard_map in_specs constrain the per-iteration state sharding.
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("frames", None, None)
+        )
+        u_sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    else:
+        sharding = mesh_lib.pair_sharding(mesh)
+        u_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "tx", "ty")
+        )
     prev = jax.device_put(prev, sharding)
     cur = jax.device_put(cur, sharding)
     u_init = jax.device_put(
-        jnp.zeros((3,) + movie.shape[1:], dtype=dtype),
-        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "tx", "ty")),
+        jnp.zeros((3,) + movie.shape[1:], dtype=dtype), u_sharding
     )
 
     all_u, infos = _batched_pair_solve(
@@ -124,7 +159,7 @@ def sharded_variational_solve(
         preconditioner=solver.preconditioner,
         max_iterations=solver.max_iterations,
         high_precision_reductions=solver.high_precision_reductions,
-        matvec_impl="pallas" if solver.matvec == "pallas" else "xla",
+        matvec_impl=solver.matvec if solver.matvec in ("pallas", "gspmd") else "xla",
         mesh=mesh,
         gmres_restart=solver.gmres_restart,
     )

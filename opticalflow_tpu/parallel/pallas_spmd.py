@@ -156,6 +156,93 @@ def _local_kernel_matvec(i_loc, f_top, f_bottom, f_left, f_right,
     return out[:, :m_loc, :n_loc]
 
 
+def make_sharded_xla_matvec(
+    mesh: Mesh,
+    previous_frame: jnp.ndarray,
+    speed_alpha,
+    remodelling_alpha,
+    dy_mode: str = "compat",
+) -> Callable:
+    """One-exchange-per-matvec sharded XLA stencil matvec (round 4).
+
+    Why this exists: letting GSPMD partition ``elop.el_matvec_reduced``
+    inserts a collective for EVERY stencil shift — counted in the
+    compiled HLO at 64^2 on a (tx=4, ty=2) mesh: **51 collective-permutes
+    + 3 all-gathers + 162 dynamic-slices per single matvec application**.
+    Each collective carries fixed software overhead, which produced the
+    round-3 tile-axis weak-scaling cliff (MULTICHIP_r03: 50x wall-time
+    blow-up at 8 virtual devices; the frames axis, which needs no
+    per-shift collectives, scaled fine).  On real ICI the per-permute
+    latency is far smaller, but 51 serialised permutes per matvec x ~12
+    applications per Krylov iteration would still dominate small
+    per-chip tiles.
+
+    The fix is the classic halo-exchange structure (SURVEY section 2.4):
+    a ``shard_map`` in which each device exchanges its 1-pixel field halo
+    (and the frame block's) with its (tx, ty) neighbours ONCE per
+    application — 8 ppermutes total vs GSPMD's 51 — and then rebuilds
+    the local EL coefficients and applies the whole 9-point/3-field
+    stencil locally.  Krylov state remains in plain GSPMD interior
+    layout; dots psum as before.  Same signature as
+    :func:`make_sharded_kernel_matvec`, no Pallas dependency — the
+    portable sharded matvec (used by the CPU test mesh and as the TPU
+    fallback where the fused kernel's width limit bites).
+    """
+    from opticalflow_tpu.ops import elop
+
+    ni, nj = previous_frame.shape
+    m, n = ni - 2, nj - 2
+    tx = mesh.shape["tx"]
+    ty = mesh.shape["ty"]
+    if m % tx or n % ty:
+        raise ValueError(
+            f"interior {m}x{n} must tile evenly over (tx, ty)=({tx},{ty})"
+        )
+    dtype = previous_frame.dtype
+    a_s = jnp.asarray(speed_alpha, dtype=dtype)
+    a_r = jnp.asarray(remodelling_alpha, dtype=dtype)
+
+    i_int = previous_frame[1:-1, 1:-1]
+    f_top = previous_frame[0, :]
+    f_bottom = previous_frame[-1, :]
+    f_left = previous_frame[:, 0]
+    f_right = previous_frame[:, -1]
+
+    plane = P("tx", "ty")
+    # the alphas are per-pair values (the solver normalises speed_alpha by
+    # the pair's intensity scale), so under the frame-pair vmap they are
+    # BATCHED — they must be explicit shard_map operands (batched closure
+    # captures do not pick up the vmap's spmd_axis_name spec)
+    scalars = jnp.stack([a_s, a_r])
+
+    def local_matvec(sc, i_loc, top, bottom, left, right, u_loc):
+        # ONE two-phase halo exchange each for the frame block and the
+        # field (8 ppermutes total), then a purely local coefficient
+        # build + stencil application — mirror semantics at global edges
+        # included.  The coefficient build repeats per application (pure
+        # local VPU work, ~15 elementwise ops on the block) because a
+        # factory-time shard_map whose outputs are captured inside the
+        # solver's vmapped while_loops does not lower; this per-call
+        # structure is the one the pallas factory uses and lowers fine.
+        f_ext = _exchange_frame(i_loc, top, bottom, left, right)
+        pair = elop.compute_frame_pair_data(f_ext, f_ext, sc[0], sc[1], dy_mode)
+        u_ext = _exchange_and_extend_u(u_loc)
+        return elop.interior_apply(pair.coeffs, u_ext)
+
+    fn = jax.shard_map(
+        local_matvec,
+        mesh=mesh,
+        in_specs=(P(), plane, P(), P(), P(), P(), P(None, "tx", "ty")),
+        out_specs=P(None, "tx", "ty"),
+        check_vma=False,
+    )
+
+    def matvec(u_int: jnp.ndarray) -> jnp.ndarray:
+        return fn(scalars, i_int, f_top, f_bottom, f_left, f_right, u_int)
+
+    return matvec
+
+
 def make_sharded_kernel_matvec(
     mesh: Mesh,
     previous_frame: jnp.ndarray,

@@ -201,3 +201,28 @@ def test_sharded_solve_through_pallas_kernel(movie, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(u_pl), np.asarray(u_xla), rtol=5e-3, atol=5e-4
     )
+
+
+def test_sharded_xla_matvec_parity():
+    """The one-exchange-per-application shard_map matvec (round-4 fix for
+    the GSPMD 51-collectives-per-matvec cliff, see bench/SCALING_ANALYSIS.md)
+    must equal el_matvec_reduced exactly on a (tx, ty) mesh."""
+    import jax.numpy as jnp
+
+    from opticalflow_tpu.ops import elop
+    from opticalflow_tpu.parallel import pallas_spmd
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:4], frames=1, tx=2, ty=2)
+    rng = np.random.default_rng(5)
+    ni = nj = 26  # interior 24 divides (2, 2)
+    prev = jnp.asarray(rng.normal(size=(ni, nj)))
+    u = jnp.asarray(rng.normal(size=(3, ni - 2, nj - 2)))
+    a_s, a_r = jnp.asarray(700.0), jnp.asarray(800.0)
+
+    for dy_mode in ("compat", "fixed"):
+        pair = elop.compute_frame_pair_data(prev, prev * 1.01, a_s, a_r, dy_mode)
+        ref = elop.el_matvec_reduced(pair.coeffs, u)
+        mv = pallas_spmd.make_sharded_xla_matvec(mesh, prev, a_s, a_r, dy_mode)
+        out = mv(u)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
