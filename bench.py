@@ -93,9 +93,23 @@ def _log(msg):
 def make_movie(n_frames, dim, dtype):
     from opticalflow_tpu.core.synth import make_translating_blob_movie
 
+    # Blob width scales with the grid (20 px at <= 256^2 — the headline
+    # workload is unchanged) so signal coverage stays representative of
+    # real microscopy at every size: a fixed-width blob on a 1024^2
+    # otherwise-zero frame degenerates the velocity equations to a pure
+    # Laplacian over most of the image (no data term), which is a
+    # condition-number corner case rather than BASELINE config 2's
+    # "native-resolution actin pair" (real frames have structure across
+    # the field).  Measured at 1024^2: the width-scaled pair's df32
+    # refinement contracts at the target rate to 0.03x tol, while the
+    # fixed-20px pair's correction solves stall above tol
+    # (bench/refine1024_probe.py).  Below 256^2 the width stays 20 px —
+    # shrinking it further enters the same low-coverage corner from the
+    # other side (at width 10 on 128^2, ~1 pair in 12 is f32-unsolvable
+    # and reports converged=False).
     movie, delta_x = make_translating_blob_movie(
-        n_frames=n_frames, dimension=dim, width=20.0, sigma=3.0, v_x=0.15, v_y=0.1,
-        dtype=dtype,
+        n_frames=n_frames, dimension=dim, width=20.0 * max(dim, 256) / 256,
+        sigma=3.0, v_x=0.15, v_y=0.1, dtype=dtype,
     )
     # Round the frames through f32 so the f64 oracle and the f32 engine see
     # the *same* data — real microscopy frames are integer-valued (uint16)
@@ -524,6 +538,10 @@ def main():
         except Exception as err:  # noqa: BLE001 — never lose the core metric
             RESULT.setdefault("section_errors", {})[name] = repr(err)
             _log(f"ERROR in {name}: {err!r}")
+        # drop cached executables + live buffers between sections — the
+        # 1024^2 and 50x512^2 sections each pin multi-GB Krylov bases, and
+        # letting them accumulate crashed the TPU worker (OOM) in testing
+        jax.clear_caches()
     if skipped:
         RESULT["skipped_budget"] = skipped
 

@@ -249,6 +249,17 @@ def _solve_frame_pair_impl(
         b_K = b_red
         x0_K = u0_red
 
+    # Smoothing strength scales with the grid: 2 damped block-Jacobi
+    # sweeps per half-cycle below 500 interior points, 4 at/above.
+    # Measured at 1024^2 (bench/refine1024_probe.py): with sweeps=2 the
+    # f32 FGMRES corrections stall at ~5x tol — the Arnoldi least-squares
+    # estimate says "reduced 5x" while the true residual does not move,
+    # an f32 Hessenberg-algebra breakdown on the poorly-conditioned
+    # preconditioned system — while sweeps=4 keeps the corrections
+    # contracting to ~0.5x tol (converged) AND cuts main-solve iterations
+    # 95 -> 66.
+    mg_sweeps = 2 if max(m, n) < 500 else 4
+
     if preconditioner == "block_jacobi":
         bj = functools.partial(elop.block_jacobi_inverse_apply_interior, pair.coeffs)
         if use_pallas:
@@ -273,10 +284,12 @@ def _solve_frame_pair_impl(
                 ((0, b_K.shape[1] - m), (0, b_K.shape[2] - n), (0, 0), (0, 0)),
             )
             precond = functools.partial(
-                multigrid.v_cycle_aligned, hierarchy, aops, binv_c
+                multigrid.v_cycle_aligned, hierarchy, aops, binv_c,
+                sweeps=mg_sweeps,
             )
         else:
-            precond = functools.partial(multigrid.v_cycle, hierarchy)
+            precond = functools.partial(multigrid.v_cycle, hierarchy,
+                                        sweeps=mg_sweeps)
     elif preconditioner == "none":
         # layouts agree in every mode (C -> C or interior -> interior)
         precond = None
@@ -346,14 +359,25 @@ def _solve_frame_pair_impl(
         exit_tol = refinement_exit_factor * tol_main
 
         def ref_cond(state):
-            step, _, _, _, r_norm, _ = state
+            step, _, _, _, r_norm, _, r_prev = state
             # refine `refinement_exit_factor` contractions beyond the
             # reported tolerance so the EPE keeps margin under the <1e-3 px
             # target instead of landing exactly on the tolerance boundary
             # (each extra factor of ~refinement_rtol costs one cheap
-            # correction solve; tuned on-chip, see bench/refine_tune.py)
+            # correction solve; tuned on-chip, see bench/refine_tune.py).
+            # Stall guard: when a step makes essentially NO progress
+            # (<0.1%) the f32 correction solves have hit their attainable
+            # floor (the est/true Hessenberg mismatch stalls are EXACT —
+            # ratio 1.000, see bench/refine1024_probe.py) — more restarts
+            # cannot help, stop burning them.  The threshold is
+            # deliberately this tight: refinement steps double as
+            # BiCGStab-breakdown restarts, and a recovering pair may
+            # contract slowly for several steps before the cliff (a 0.9
+            # threshold was measured to kill exactly such a pair at 128^2
+            # — EPE 0.71 px with the guard vs 1e-5 px without).
             return jnp.logical_and(
-                step < refinement_restarts, r_norm > exit_tol
+                jnp.logical_and(step < refinement_restarts, r_norm > exit_tol),
+                r_norm < 0.999 * r_prev,
             )
 
         # Correction solves run against the df32 operator in interior
@@ -364,7 +388,8 @@ def _solve_frame_pair_impl(
         # limit the attainable residual).
         matvec_c = functools.partial(elop.el_matvec_df, dfd)
         if preconditioner == "multigrid":
-            precond_c = functools.partial(multigrid.v_cycle, hierarchy)
+            precond_c = functools.partial(multigrid.v_cycle, hierarchy,
+                                          sweeps=mg_sweeps)
         elif preconditioner == "block_jacobi":
             precond_c = functools.partial(
                 elop.block_jacobi_inverse_apply_interior, pair.coeffs
@@ -373,7 +398,7 @@ def _solve_frame_pair_impl(
             precond_c = None
 
         def ref_body(state):
-            step, x_hi, x_lo, r_hi, r_norm, iters = state
+            step, x_hi, x_lo, r_hi, r_norm, iters, _ = state
             res_c = solver_fn(
                 matvec_c,
                 r_hi,
@@ -386,15 +411,29 @@ def _solve_frame_pair_impl(
             )
             d_int = res_c.x
             s, e = df32.two_sum(x_hi, d_int)
-            x_hi, x_lo = df32.fast_two_sum(s, x_lo + e)
-            r_hi = elop.el_residual_df(dfd, x_hi, x_lo)
-            r_norm = jnp.sqrt(jnp.sum(r_hi.astype(b_norm.dtype) ** 2))
-            return step + 1, x_hi, x_lo, r_hi, r_norm, iters + res_c.iterations
+            x_hi_n, x_lo_n = df32.fast_two_sum(s, x_lo + e)
+            r_hi_n = elop.el_residual_df(dfd, x_hi_n, x_lo_n)
+            r_new = jnp.sqrt(jnp.sum(r_hi_n.astype(b_norm.dtype) ** 2))
+            # Monotonicity: reject a correction that does not reduce the
+            # df32 TRUE residual.  On pathological pairs (f32-unsolvable
+            # correction systems) an unconditional update can inject huge
+            # near-null-space components — measured: a rejected-correction
+            # path returned EPE 1e4 px while the main-solve iterate it
+            # replaced was 1e-1-accurate.  Rejection keeps r_new = r_norm,
+            # so the stall guard in ref_cond exits on the next check.
+            ok = r_new < r_norm
+            x_hi_n = jnp.where(ok, x_hi_n, x_hi)
+            x_lo_n = jnp.where(ok, x_lo_n, x_lo)
+            r_hi_n = jnp.where(ok, r_hi_n, r_hi)
+            r_new = jnp.where(ok, r_new, r_norm)
+            return (step + 1, x_hi_n, x_lo_n, r_hi_n, r_new,
+                    iters + res_c.iterations, r_norm)
 
         with jax.named_scope("refinement"):
-            _, x_hi, x_lo, _, r_norm, iterations = jax.lax.while_loop(
+            _, x_hi, x_lo, _, r_norm, iterations, _ = jax.lax.while_loop(
                 ref_cond, ref_body,
-                (jnp.asarray(0, jnp.int32), x_hi0, x_lo0, r_hi0, r_norm0, iterations),
+                (jnp.asarray(0, jnp.int32), x_hi0, x_lo0, r_hi0, r_norm0,
+                 iterations, jnp.full_like(r_norm0, jnp.inf)),
             )
         residual_norm = r_norm
         converged = r_norm <= tol_main

@@ -264,7 +264,11 @@ class PaddedOps(NamedTuple):
 
 
 def max_supported_width(dtype=jnp.float32) -> int:
-    """Width limit of the full-width tiling given ~16MB VMEM.
+    """Width limit of the v2 (padded-layout) kernel's full-width tiling
+    given ~16MB VMEM.  Informational since round 4: ``matvec='auto'``
+    resolves to the XLA stencil (measured faster end-to-end, see
+    flow.variational._resolve_matvec_impl), and the v4 interior kernel
+    halves its row block at wide images instead (``_pick_bm``).
 
     Scratch: I tile (BM+16, np_u+128) + field tile 3x(BM+16, np_u+128),
     output block 3xBMxnp_r double-buffered, plus Mosaic temporaries for

@@ -351,14 +351,19 @@ def fgmres(
         g: jnp.ndarray   # (m+1,) rotated beta*e1
         j: jnp.ndarray   # filled columns
         est: jnp.ndarray  # running residual-norm estimate |g[j]|
+        brk: jnp.ndarray  # Arnoldi (near-)breakdown — end the cycle
+        rmax: jnp.ndarray  # largest |R[i,i]| so far (conditioning guard)
 
     def inner_cond(s: Inner):
-        return jnp.logical_and(s.j < m, s.est > tol)
+        return jnp.logical_and(
+            jnp.logical_and(s.j < m, s.est > tol), jnp.logical_not(s.brk)
+        )
 
     def inner_body(s: Inner) -> Inner:
         vj = unflat(s.V[s.j])
         z = precond(vj)
         w = flat(matvec(z))
+        w_entry = jnp.sqrt(dot(unflat(w), unflat(w))).astype(b.dtype)
         # CGS2: project, then reorthogonalise once
         # HIGHEST matmul precision: TPU f32 matmuls default to bf16 MXU
         # passes, which destroys Gram-Schmidt orthogonality (and with it
@@ -371,6 +376,17 @@ def fgmres(
         w = w - mm(s.V.astype(acc).T, h2).astype(w.dtype)
         h = (h1 + h2).astype(b.dtype)  # (m+1,)
         hj1 = jnp.sqrt(dot(unflat(w), unflat(w))).astype(b.dtype)
+        # Arnoldi near-breakdown guard: when the unprojected part of A z_j
+        # is at the rounding-noise level of ||A z_j||, the "new" basis
+        # direction is garbage and — worse — the tiny subdiagonal makes
+        # the Givens rotation spuriously zero the residual estimate (est
+        # claims convergence the true residual contradicts; measured on an
+        # EL pair whose amplified-V-cycle preconditioner collapses the
+        # Krylov directions: est fell 10 orders while the true residual
+        # did not move at all).  End the cycle here — the LS over the j
+        # columns built so far is still consistent, and the outer loop's
+        # TRUE-residual restart takes over.
+        brk = hj1 <= 3e-4 * w_entry
         v_next = (w / jnp.maximum(hj1, tiny)).astype(b.dtype)
         V = lax.dynamic_update_index_in_dim(s.V, v_next, s.j + 1, axis=0)
         Z = lax.dynamic_update_index_in_dim(
@@ -397,7 +413,8 @@ def fgmres(
         safe = jnp.maximum(denom, tiny)
         c_new = jnp.where(denom > 0, a1 / safe, jnp.ones_like(a1))
         s_new = jnp.where(denom > 0, a2 / safe, jnp.zeros_like(a2))
-        col = col.at[s.j].set(c_new * a1 + s_new * a2)
+        rdd = c_new * a1 + s_new * a2
+        col = col.at[s.j].set(rdd)
         col = col.at[s.j + 1].set(jnp.zeros_like(a2))
         cs = s.cs.at[s.j].set(c_new)
         sn = s.sn.at[s.j].set(s_new)
@@ -405,7 +422,18 @@ def fgmres(
         g = s.g.at[s.j].set(c_new * gj).at[s.j + 1].set(-s_new * gj)
         est = jnp.abs(g[s.j + 1])
         R = lax.dynamic_update_index_in_dim(s.R, col, s.j, axis=1)
-        return Inner(V=V, Z=Z, R=R, cs=cs, sn=sn, g=g, j=s.j + 1, est=est)
+        # R-conditioning guard (second breakdown route): a tiny new
+        # diagonal makes kappa(R) explode, so the LS coefficients y blow
+        # up and the f32 evaluation of Z y cancels to garbage — est then
+        # reports a reduction dx cannot deliver.  End the cycle while the
+        # triangular solve is still trustworthy; the outer true-residual
+        # restart takes over.  (Measured on the same EL pair: without the
+        # guard est fell 10 orders in one 28-step cycle while the true
+        # residual did not move.)
+        rmax = jnp.maximum(s.rmax, jnp.abs(rdd))
+        brk = jnp.logical_or(brk, jnp.abs(rdd) <= 1e-5 * rmax)
+        return Inner(V=V, Z=Z, R=R, cs=cs, sn=sn, g=g, j=s.j + 1, est=est,
+                     brk=brk, rmax=rmax)
 
     class Outer(NamedTuple):
         x: jnp.ndarray
@@ -434,6 +462,8 @@ def fgmres(
             g=jnp.zeros((m + 1,), b.dtype).at[0].set(beta),
             j=jnp.asarray(0, jnp.int32),
             est=beta,
+            brk=jnp.asarray(False),
+            rmax=jnp.zeros((), b.dtype),
         )
         # cap TOTAL inner iterations at max_iterations (not just at restart
         # boundaries — bicgstab/cg cap per iteration, this matches them)
@@ -444,18 +474,39 @@ def fgmres(
 
         fin = lax.while_loop(inner_cond_capped, inner_body, init)
 
-        # solve the (masked) triangular system R[:m,:m] y = g[:m]
-        used = jnp.arange(m) < fin.j
-        Rm = fin.R[:m, :m] + jnp.diag(jnp.where(used, 0.0, 1.0).astype(b.dtype))
-        gm = jnp.where(used, fin.g[:m], 0.0).astype(b.dtype)
-        y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
-        dx = unflat_x(
-            jnp.matmul(fin.Z.astype(acc).T, y.astype(acc),
-                       precision=lax.Precision.HIGHEST).astype(b.dtype)
-        )
-        x = s.x + dx
-        r_new = b - matvec(x)
-        res_new = jnp.sqrt(dot(r_new, r_new)).astype(s.res_norm.dtype)
+        def solution_for(jj):
+            # LS solution over the FIRST jj columns (R is triangular, so
+            # the truncated problem is exactly the length-jj Arnoldi LS)
+            used = jnp.arange(m) < jj
+            Rm = fin.R[:m, :m] + jnp.diag(
+                jnp.where(used, 0.0, 1.0).astype(b.dtype))
+            gm = jnp.where(used, fin.g[:m], 0.0).astype(b.dtype)
+            y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+            y = jnp.where(used, y, 0.0)
+            dx = unflat_x(
+                jnp.matmul(fin.Z.astype(acc).T, y.astype(acc),
+                           precision=lax.Precision.HIGHEST).astype(b.dtype)
+            )
+            x = s.x + dx
+            r_new = b - matvec(x)
+            return x, jnp.sqrt(dot(r_new, r_new)).astype(s.res_norm.dtype)
+
+        # Evaluate the full cycle AND two truncations against the TRUE
+        # residual, keep the best.  Why: on ill-conditioned preconditioned
+        # systems the Arnoldi LS estimate keeps "improving" while ||y||
+        # explodes and the f32 evaluation of Z y cancels to garbage —
+        # measured on an EL pair: est fell to 1e-2 relative while the full
+        # cycle's true residual ROSE to 3.9, yet the half-cycle truncation
+        # held genuine progress (3e-2).  Truncated candidates keep exactly
+        # that progress at the cost of two extra matvecs per cycle.
+        x_f, r_f = solution_for(fin.j)
+        x_h, r_h = solution_for((fin.j + 1) // 2)
+        x_q, r_q = solution_for((fin.j + 3) // 4)
+        x, res_new = x_f, r_f
+        for xc, rc in ((x_h, r_h), (x_q, r_q)):
+            take = rc < res_new
+            x = jnp.where(take, xc, x)
+            res_new = jnp.where(take, rc, res_new)
         # keep the better iterate; stop if the cycle made <1% progress
         better = res_new < s.res_norm
         x = jnp.where(better, x, s.x)
