@@ -3,25 +3,36 @@
 North-star metric (BASELINE.json): frame-pairs/sec on the flagship
 variational solve, plus flow EPE vs the f64 reference solution.
 
-Round-4 redesign (VERDICT r3 items #1-#5) — the harness must be
-un-killable and tunnel-proof:
+Round-5 redesign (VERDICT r4 items #1, #2, #3, #9) — the headline can
+never be lost again:
 
-* **Budgeted.** Every section checks a wall-clock budget
-  (``BENCH_BUDGET_S``, default 500 s) before starting and is skipped —
-  and recorded as skipped — if it does not fit.  A SIGTERM/SIGALRM
-  safety handler prints the JSON assembled so far, so even an external
-  kill cannot destroy the round's metric (r3 lost its record to rc 124).
-* **Transfer-hygiene.**  The axon tunnel's device->host path is flaky
-  (measured: sporadic multi-second stalls; one 256 KB fetch took 70 s
-  while upload ran at >40 MB/s).  All heavy operands flow host->device;
-  EPE is computed ON DEVICE against an uploaded f64-oracle field and
-  only scalars / tiny arrays come back.  Device-resident throughput
-  (device inputs, timed to completion) is the headline; end-to-end
-  (host array in) is reported alongside.
-* **Compile-cache warm.**  jax's persistent compilation cache is pointed
-  at ``.jax_cache/`` in the repo, so a bench run after any prior run (or
-  after the test/dev sessions that built the cache) skips the ~2-3 min
-  remote AOT compiles entirely.
+* **Earliest-value-first.**  ``RESULT["value"]`` is set after the FIRST
+  successful timed stage — a single-pair 256^2 solve whose cold compile
+  is ~76 s (measured this round) — and then *refined* by the batched
+  12-pair stage (~196 s additional cold compile, ~45 pairs/s steady).
+  r3 (rc=124) and r4 (value=null at 590 s) both died because the value
+  was written once, late, after compile + 6 device reps + 2 e2e reps.
+* **Stage timestamps.**  Every stage boundary writes
+  ``RESULT["stages"][name] = seconds`` as it happens and mirrors the
+  whole RESULT to ``BENCH_PROGRESS.json`` on disk, so any future
+  interrupt is diagnosable from the JSON alone (r4's starvation was
+  not: no way to tell whether compile ever finished).
+* **Host work is concurrent.**  The f64 spsolve oracles (pairs 0, 1, 6,
+  11) and the CPU reference baseline run in a background thread from
+  t=0; the main thread is blocked on remote device work anyway (axon
+  tunnel), so the host CPU is otherwise idle.  EPE and vs_baseline cost
+  ~0 extra wall-clock.
+* **Budgeted + un-killable.**  Sections check the wall-clock budget
+  (``BENCH_BUDGET_S``, default 500 s) before starting; SIGTERM/SIGALRM
+  print the JSON assembled so far (alarm at budget+90 s beats the
+  driver's own timeout, proven captured in r4).
+* **EPE over sampled batched pairs** (VERDICT r4 #2/#9): headline
+  ``epe_px_vs_f64_direct`` is the max over batched pairs {1, 6, 11},
+  each vs its own f64 assembled spsolve oracle; a non-converged pair
+  sets ``converged_ok: false`` loudly.
+* **Compile-cache accounting.**  ``.jax_cache/`` entry counts before /
+  after plus per-stage compile seconds distinguish cache hit vs miss
+  vs tunnel stall.
 
 Workload: config-3 analogue — a 12-pair batch of a 256^2 synthetic movie
 (the repo ships no data; BASELINE.md: the CPU baseline must be measured,
@@ -44,6 +55,7 @@ import json
 import os
 import signal
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -55,23 +67,38 @@ N_PAIRS = 12  # best measured throughput point (batch=8/32 hit XLA batch patholo
 ALPHA_S = 1000.0
 ALPHA_R = 1000.0
 RTOL = 1e-6
-CPU_BASELINE_PAIRS = 1
 EXIT_FACTOR = 0.1  # refinement exit (SolverConfig default; tuned on-chip)
 HBM_PEAK_GBPS = 819.0  # TPU v5e
+EPE_PAIRS = (1, 6, 11)  # batched pairs sampled for the headline EPE
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "500"))
 _T0 = time.time()
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 RESULT = {
     "metric": f"variational_flow_{DIM}x{DIM}_frame_pairs_per_sec",
     "value": None,
     "unit": "frame-pairs/s",
     "vs_baseline": None,
+    "value_stage": None,
+    "stages": {},
 }
 
 
 def _remaining():
     return BUDGET_S - (time.time() - _T0)
+
+
+def _stamp(name):
+    """Record a stage boundary in RESULT and mirror to disk (diagnosable
+    even under SIGKILL, which no handler can catch)."""
+    RESULT["stages"][name] = round(time.time() - _T0, 1)
+    try:
+        with open(os.path.join(_HERE, "BENCH_PROGRESS.json"), "w") as fh:
+            json.dump(RESULT, fh)
+    except OSError:
+        pass
+    _log(f"stage {name}")
 
 
 def _emit_and_exit(signum, frame):
@@ -171,28 +198,41 @@ def _direct_f64_fields(movie, k=0):
     return flat_to_fields(x, movie.shape[1], movie.shape[2])
 
 
-def bench_cpu_reference(movie, n_pairs):
-    """Reference-pipeline harness, f64: vectorized assembly + SuperLU
-    spsolve per pair (see module docstring)."""
-    import scipy.sparse.linalg as spla
+class HostWorker(threading.Thread):
+    """Background host-CPU worker: f64 spsolve oracles for the sampled
+    pairs + the reference-pipeline CPU baseline.  Runs concurrently with
+    remote device compiles/executions (which leave the host idle)."""
 
-    from opticalflow_tpu.solve.direct import assemble_el_matrix, fields_to_flat
+    def __init__(self, movie):
+        super().__init__(daemon=True)
+        self.movie = movie
+        self.oracles = {}
+        self.cpu_pair_seconds = None
+        self.error = None
 
-    t0 = time.perf_counter()
-    for k in range(n_pairs):
-        coeffs, rhs = numpy_pair_data(movie[k], movie[k + 1], ALPHA_S, ALPHA_R)
-        mat = assemble_el_matrix(coeffs, movie.shape[1], movie.shape[2]).tocsc()
-        spla.spsolve(mat, fields_to_flat(rhs))
-    return n_pairs / (time.perf_counter() - t0)
+    def run(self):
+        try:
+            t0 = time.perf_counter()
+            self.oracles[0] = _direct_f64_fields(self.movie, 0)
+            # the pair-0 oracle doubles as the CPU reference baseline
+            # measurement: same vectorized assembly + SuperLU spsolve the
+            # baseline harness would run (module docstring)
+            self.cpu_pair_seconds = time.perf_counter() - t0
+            _stamp("host_baseline_done")
+            for k in EPE_PAIRS:
+                self.oracles[k] = _direct_f64_fields(self.movie, k)
+            _stamp("host_oracles_done")
+        except Exception as err:  # noqa: BLE001 — worker must never kill the bench
+            self.error = repr(err)
+            _log(f"host worker ERROR: {err!r}")
 
 
 # ---------------------------------------------------------------------------
-# Core section (must complete): 12-pair 256^2 batch, production defaults
+# Core stages
 # ---------------------------------------------------------------------------
 
 
 def _movie_runner(warm_start, gmres_restart=32):
-    import jax
     import jax.numpy as jnp
     from opticalflow_tpu.flow.variational import _solve_movie
 
@@ -207,7 +247,48 @@ def _movie_runner(warm_start, gmres_restart=32):
     return run
 
 
-def core_section(movie):
+def single_pair_stage(movie):
+    """Cheapest path to a non-null headline: one 256^2 pair, cold start.
+    Cold compile ~76 s measured — lands a value before anything else."""
+    import jax
+    import jax.numpy as jnp
+    from opticalflow_tpu.flow.variational import solve_frame_pair
+
+    prev = jax.device_put(jnp.asarray(movie[0], jnp.float32))
+    cur = jax.device_put(jnp.asarray(movie[1], jnp.float32))
+    u0 = jnp.zeros((3, DIM, DIM), jnp.float32)
+
+    @jax.jit
+    def solve(p, c):
+        return solve_frame_pair(
+            p, c, u0, jnp.float32(ALPHA_S), jnp.float32(ALPHA_R),
+            method="auto", refinement_exit_factor=EXIT_FACTOR,
+        )
+
+    t0 = time.perf_counter()
+    u, info = solve(prev, cur)
+    jax.block_until_ready(u)
+    RESULT["single_pair_compile_s"] = round(time.perf_counter() - t0, 1)
+    _stamp("single_compile_done")
+
+    best = float("inf")
+    for eps in (1e-4, 2e-4):
+        t0 = time.perf_counter()
+        u, info = solve(prev + jnp.float32(eps), cur)
+        jax.block_until_ready(u)
+        best = min(best, time.perf_counter() - t0)
+    RESULT["value"] = round(1.0 / best, 3)
+    RESULT["value_stage"] = "single_pair"
+    RESULT["single_pair_iterations"] = int(info["iterations"])
+    RESULT["single_pair_converged"] = bool(info["converged"])
+    _stamp("single_value_set")
+    _log(f"single-pair: {RESULT['value']} pairs/s, iters={int(info['iterations'])}")
+    return u
+
+
+def batched_stage(movie):
+    """The headline workload: 12-pair batch, two-pass warm start,
+    3 device-resident reps + 1 end-to-end rep."""
     import jax
     import jax.numpy as jnp
 
@@ -225,67 +306,108 @@ def core_section(movie):
     t0 = time.perf_counter()
     all_u, infos = run(movs[0], u0)
     jax.block_until_ready(all_u)
-    compile_s = time.perf_counter() - t0
-    _log(f"core compile+first run: {compile_s:.1f}s")
+    RESULT["batch_compile_s"] = round(time.perf_counter() - t0, 1)
+    _stamp("batch_compile_done")
 
-    # device-resident throughput (the tunnel-independent number)
+    n_pairs = movie.shape[0] - 1
     times = []
-    for rep in range(6):
+    for rep in range(3):
         t0 = time.perf_counter()
-        all_u, _ = run(movs[rep % len(movs)], u0)
+        all_u, _ = run(movs[1 + rep], u0)
         jax.block_until_ready(all_u)
         times.append(time.perf_counter() - t0)
-    dev_med = float(np.median(times))
-    dev_best = float(np.min(times))
+        # first rep already beats the single-pair value — record it NOW
+        RESULT["value"] = round(n_pairs / min(times), 3)
+        RESULT["value_stage"] = "batched_12_rep%d" % (rep + 1)
+        _stamp(f"batch_rep{rep + 1}")
+    RESULT["value"] = round(n_pairs / float(np.median(times)), 3)
+    RESULT["device_pairs_per_sec_best"] = round(n_pairs / float(np.min(times)), 3)
+    RESULT["value_stage"] = "batched_12_median3"
 
     # end-to-end: host f64 array in (f32 convert + upload + solve)
-    e2e_times = []
-    for rep in range(2):
-        mov_host = movie + rng.normal(0, 1e-4, movie.shape)
-        t0 = time.perf_counter()
-        all_u, _ = run(jnp.asarray(mov_host, jnp.float32), u0)
-        jax.block_until_ready(all_u)
-        e2e_times.append(time.perf_counter() - t0)
-    e2e = float(np.median(e2e_times))
+    mov_host = movie + rng.normal(0, 1e-4, movie.shape)
+    t0 = time.perf_counter()
+    all_u, _ = run(jnp.asarray(mov_host, jnp.float32), u0)
+    jax.block_until_ready(all_u)
+    RESULT["end_to_end_pairs_per_sec"] = round(n_pairs / (time.perf_counter() - t0), 3)
 
     all_u, infos = run(movs[0], u0)
     iters = np.asarray(infos["iterations"])
     conv = np.asarray(infos["converged"])
-
-    n_pairs = movie.shape[0] - 1
-    RESULT["value"] = round(n_pairs / dev_med, 3)
-    RESULT["device_pairs_per_sec_best"] = round(n_pairs / dev_best, 3)
-    RESULT["end_to_end_pairs_per_sec"] = round(n_pairs / e2e, 3)
     RESULT["warm_start"] = "two-pass"
     RESULT["iterations"] = [int(v) for v in iters]
     RESULT["converged_pairs"] = f"{int(conv.sum())}/{conv.size}"
-    RESULT["compile_s"] = round(compile_s, 1)
-    _log(f"core: {RESULT['value']} pairs/s device (best {RESULT['device_pairs_per_sec_best']}), "
+    RESULT["converged_ok"] = bool(conv.all())  # VERDICT r4 #9: loud failure
+    _stamp("batch_value_set")
+    _log(f"batched: {RESULT['value']} pairs/s device (best "
+         f"{RESULT['device_pairs_per_sec_best']}), "
          f"{RESULT['end_to_end_pairs_per_sec']} end-to-end, iters={RESULT['iterations']}")
+    return all_u
 
-    # EPE of a BATCHED pair (pair 1 — pair 0 is the two-pass solo pass)
-    # against its own f64 assembled direct solve, computed on device
-    u_ref1 = _direct_f64_fields(movie, 1)
-    ref1 = jax.device_put(jnp.asarray(u_ref1, jnp.float32))
+
+def epe_stage(worker, u_single, all_u):
+    """Headline EPE: max over sampled batched pairs {1,6,11}, each vs its
+    own f64 assembled spsolve oracle, computed on device (only scalars
+    cross the flaky device->host tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    deadline = time.time() + max(min(_remaining() - 60, 120), 5)
+    while worker.is_alive() and time.time() < deadline and len(worker.oracles) < 1 + len(EPE_PAIRS):
+        time.sleep(0.5)
 
     @jax.jit
     def epe_dev(u, ref):
         d = u - ref
         return jnp.sqrt(d[0] ** 2 + d[1] ** 2)[1:-1, 1:-1].max()
 
-    epe = float(epe_dev(all_u[1], ref1))
-    RESULT["epe_px_vs_f64_direct"] = epe
-    RESULT["epe_pair"] = "pair1 (batched path)"
-    _log(f"EPE (batched pair 1) vs f64 direct: {epe:.2e} px")
-    return all_u
+    per_pair = {}
+    if 0 in worker.oracles and u_single is not None:
+        ref0 = jax.device_put(jnp.asarray(worker.oracles[0], jnp.float32))
+        per_pair["single_pair0"] = float(epe_dev(u_single, ref0))
+    if all_u is not None:
+        for k in EPE_PAIRS:
+            if k in worker.oracles:
+                refk = jax.device_put(jnp.asarray(worker.oracles[k], jnp.float32))
+                per_pair[f"batched_pair{k}"] = float(epe_dev(all_u[k], refk))
+    if per_pair:
+        batched = [v for key, v in per_pair.items() if key.startswith("batched")]
+        RESULT["epe_px_vs_f64_direct"] = max(batched) if batched else per_pair["single_pair0"]
+        RESULT["epe_pairs"] = {k: round(v, 8) for k, v in per_pair.items()}
+        RESULT["epe_ok"] = RESULT["epe_px_vs_f64_direct"] < 1e-3
+        _log(f"EPE max over sampled pairs vs f64 direct: "
+             f"{RESULT['epe_px_vs_f64_direct']:.2e} px ({per_pair})")
+    elif worker.error:
+        RESULT["epe_px_vs_f64_direct"] = f"oracle failed: {worker.error}"
+    else:
+        RESULT["epe_px_vs_f64_direct"] = "oracle not ready before deadline"
+    _stamp("epe_done")
 
 
-def cpu_baseline_section(movie):
-    cpu_fps = bench_cpu_reference(movie, CPU_BASELINE_PAIRS)
-    RESULT["cpu_baseline_pairs_per_sec"] = round(cpu_fps, 4)
-    RESULT["vs_baseline"] = round(RESULT["value"] / cpu_fps, 2)
-    _log(f"cpu reference harness: {cpu_fps:.3f} pairs/s -> "
-         f"vs_baseline {RESULT['vs_baseline']}x")
+def baseline_stage(worker, movie):
+    deadline = time.time() + max(min(_remaining() - 30, 60), 5)
+    while worker.is_alive() and worker.cpu_pair_seconds is None and time.time() < deadline:
+        time.sleep(0.5)
+    cpu_fps = None
+    if worker.cpu_pair_seconds is not None:
+        cpu_fps = 1.0 / worker.cpu_pair_seconds
+        RESULT["cpu_baseline_pairs_per_sec_concurrent"] = round(cpu_fps, 4)
+    # the concurrent measurement contends with host-side jax tracing on
+    # this 2-core box and understates the baseline (flattering us) —
+    # re-measure uncontended (device idle now) and use the FASTER
+    # baseline for vs_baseline, which is the conservative choice
+    if _remaining() > 90:
+        t0 = time.perf_counter()
+        _direct_f64_fields(movie, 2)
+        serial_fps = 1.0 / (time.perf_counter() - t0)
+        cpu_fps = max(cpu_fps or 0.0, serial_fps)
+    if cpu_fps:
+        RESULT["cpu_baseline_pairs_per_sec"] = round(cpu_fps, 4)
+        if RESULT["value"]:
+            RESULT["vs_baseline"] = round(RESULT["value"] / cpu_fps, 2)
+        _log(f"cpu reference harness: {cpu_fps:.3f} pairs/s -> "
+             f"vs_baseline {RESULT['vs_baseline']}x")
+    _stamp("baseline_done")
 
 
 # ---------------------------------------------------------------------------
@@ -419,7 +541,8 @@ def embryo_1024_section():
     }
     # f64 spsolve at 3.1M unknowns can exhaust memory or run for hours —
     # only attempted when explicitly requested (ADVICE r3 #4's cutoff);
-    # convergence is judged on the df32 true residual instead.
+    # convergence is judged on the df32 true residual instead, plus the
+    # independent f64-FGMRES-oracle slow test (tests/test_accuracy_1024.py).
     if os.environ.get("BENCH_EPE_1024", "0") == "1":
         try:
             u_ref = _direct_f64_fields(movie, 0)
@@ -505,29 +628,60 @@ def sweep_section():
 
 def main():
     _install_safety()
-    # warm persistent compile cache (works through the axon remote-compile
-    # path — measured: second-process compile 0.1s vs 60s+ cold)
+    _stamp("start")
+    cache_dir = os.path.join(_HERE, ".jax_cache")
+    try:
+        RESULT["cache_entries_before"] = len(os.listdir(cache_dir))
+    except OSError:
+        RESULT["cache_entries_before"] = 0
+
+    # persistent compile cache (works through the axon remote-compile
+    # path — measured: second-process compile 0.1s vs 76s cold)
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    RESULT["platform"] = jax.devices()[0].platform
+    _stamp("backend_ready")
 
     movie, _ = make_movie(N_PAIRS + 1, DIM, np.float64)
+    worker = HostWorker(movie)
+    worker.start()
+    _stamp("movie_ready")
 
-    core_section(movie)
-    cpu_baseline_section(movie)
+    u_single, all_u = None, None
+    try:
+        u_single = single_pair_stage(movie)
+    except Exception as err:  # noqa: BLE001 — keep going; batch can still land
+        RESULT.setdefault("section_errors", {})["single_pair"] = repr(err)
+        _log(f"ERROR in single_pair: {err!r}")
 
-    # extended sections, cheapest-first cost estimates (measured with a
-    # warm compile cache; a cold cache inflates each by its compile time,
-    # which the budget check absorbs by skipping later sections)
-    skipped = []
+    # batched stage needs ~200 s cold compile + ~5 s reps; skip if the
+    # budget clearly cannot fit it (the single-pair value stands)
+    batch_est = 40 if RESULT["cache_entries_before"] > 0 else 220
+    if _remaining() > batch_est:
+        try:
+            all_u = batched_stage(movie)
+        except Exception as err:  # noqa: BLE001
+            RESULT.setdefault("section_errors", {})["batched"] = repr(err)
+            _log(f"ERROR in batched: {err!r}")
+    else:
+        RESULT.setdefault("skipped_budget", []).append("batched")
+        _log(f"SKIP batched: {_remaining():.0f}s left < {batch_est}s estimate")
+
+    epe_stage(worker, u_single, all_u)
+    baseline_stage(worker, movie)
+
+    # extended sections, priority order (stencil + 1024^2 are VERDICT r4
+    # item-3 done-criteria), cost estimates measured with a warm compile
+    # cache; a cold cache inflates each by its compile time, which the
+    # budget check absorbs by skipping later sections
+    skipped = list(RESULT.get("skipped_budget", []))
     for name, fn, est in (
         ("stencil_kernel", lambda: stencil_bandwidth_section(movie), 45),
-        ("embryo_1024", embryo_1024_section, 90),
-        ("stack_512", stack_512_section, 120),
-        ("sweep_300", sweep_section, 60),
+        ("embryo_1024", embryo_1024_section, 60),
+        ("sweep_300", sweep_section, 100),
+        ("stack_512", stack_512_section, 150),
     ):
         if _remaining() < est:
             skipped.append(name)
@@ -542,10 +696,16 @@ def main():
         # 1024^2 and 50x512^2 sections each pin multi-GB Krylov bases, and
         # letting them accumulate crashed the TPU worker (OOM) in testing
         jax.clear_caches()
+        _stamp(f"section_{name}_done")
     if skipped:
         RESULT["skipped_budget"] = skipped
 
+    try:
+        RESULT["cache_entries_after"] = len(os.listdir(cache_dir))
+    except OSError:
+        pass
     RESULT["elapsed_s"] = round(time.time() - _T0, 1)
+    _stamp("end")
     print(json.dumps(RESULT), flush=True)
 
 
