@@ -279,6 +279,7 @@ def fgmres(
     restart: int = 32,
     high_precision_reductions: bool = True,
     tol_floor_eps_multiple: float = 300.0,
+    truncation_guard: bool = True,
 ) -> KrylovResult:
     """Flexible GMRES(restart) — the robust large-grid solver.
 
@@ -491,22 +492,38 @@ def fgmres(
             r_new = b - matvec(x)
             return x, jnp.sqrt(dot(r_new, r_new)).astype(s.res_norm.dtype)
 
-        # Evaluate the full cycle AND two truncations against the TRUE
-        # residual, keep the best.  Why: on ill-conditioned preconditioned
-        # systems the Arnoldi LS estimate keeps "improving" while ||y||
-        # explodes and the f32 evaluation of Z y cancels to garbage —
-        # measured on an EL pair: est fell to 1e-2 relative while the full
-        # cycle's true residual ROSE to 3.9, yet the half-cycle truncation
-        # held genuine progress (3e-2).  Truncated candidates keep exactly
-        # that progress at the cost of two extra matvecs per cycle.
+        # Evaluate the full cycle against the TRUE residual; when it
+        # DISAGREES with the Arnoldi estimate, also evaluate two
+        # truncations and keep the best.  Why: on ill-conditioned
+        # preconditioned systems the Arnoldi LS estimate keeps
+        # "improving" while ||y|| explodes and the f32 evaluation of Z y
+        # cancels to garbage — measured on an EL pair: est fell to 1e-2
+        # relative while the full cycle's true residual ROSE to 3.9, yet
+        # the half-cycle truncation held genuine progress (3e-2).
+        # Truncated candidates keep exactly that progress — but on a
+        # healthy cycle (true residual within 2x of the estimate, the
+        # common case at 256^2) they are pure overhead, so the two extra
+        # preconditioned-matvec evaluations are gated behind a lax.cond
+        # (VERDICT r4 #8: per-cycle cost drops from j+4 to j+2 matvecs).
         x_f, r_f = solution_for(fin.j)
-        x_h, r_h = solution_for((fin.j + 1) // 2)
-        x_q, r_q = solution_for((fin.j + 3) // 4)
-        x, res_new = x_f, r_f
-        for xc, rc in ((x_h, r_h), (x_q, r_q)):
-            take = rc < res_new
-            x = jnp.where(take, xc, x)
-            res_new = jnp.where(take, rc, res_new)
+
+        def _with_truncations(_):
+            x_h, r_h = solution_for((fin.j + 1) // 2)
+            x_q, r_q = solution_for((fin.j + 3) // 4)
+            x, res = x_f, r_f
+            for xc, rc in ((x_h, r_h), (x_q, r_q)):
+                take = rc < res
+                x = jnp.where(take, xc, x)
+                res = jnp.where(take, rc, res)
+            return x, res
+
+        if truncation_guard:
+            disagree = jnp.logical_and(r_f > 2.0 * fin.est, r_f > tol)
+        else:  # always-evaluate (pre-guard behavior, kept for parity tests)
+            disagree = jnp.asarray(True)
+        x, res_new = lax.cond(
+            disagree, _with_truncations, lambda _: (x_f, r_f), operand=None
+        )
         # keep the better iterate; stop if the cycle made <1% progress
         better = res_new < s.res_norm
         x = jnp.where(better, x, s.x)

@@ -166,6 +166,36 @@ def test_fgmres_f32_matches_bicgstab_f32(small_movie):
     np.testing.assert_allclose(np.asarray(u_g), np.asarray(u_b), atol=2e-4)
 
 
+def test_fgmres_truncation_guard_parity(small_movie):
+    """The restart-cycle truncation guard (VERDICT r4 #8) must be a pure
+    optimisation: on a healthy solve (Arnoldi estimate and true residual
+    agree) the guarded solver takes the identical iterates and iteration
+    count as the always-evaluate path — it just skips two true-residual
+    evaluations per cycle (j+4 -> j+2 matvecs)."""
+    import functools
+
+    from opticalflow_tpu.solve import krylov, multigrid
+
+    movie, _ = small_movie
+    prev, cur = jnp.asarray(movie[0]), jnp.asarray(movie[1])
+    # production intensity normalisation (flow.variational:195-200)
+    s = jnp.max(jnp.abs(prev))
+    pair = elop.compute_frame_pair_data(prev / s, cur / s, 100.0 / s**2, 100.0, "compat")
+    matvec = functools.partial(elop.el_matvec_reduced, pair.coeffs)
+    b_red = pair.rhs[:, 1:-1, 1:-1]
+    m, n = b_red.shape[1], b_red.shape[2]
+    h = multigrid.setup(matvec, elop.diag_blocks(pair.coeffs), m, n, b_red.dtype)
+    precond = functools.partial(multigrid.v_cycle, h, sweeps=2)
+    kwargs = dict(precond=precond, rtol=1e-10, restart=16, max_iterations=400)
+    res_guarded = krylov.fgmres(matvec, b_red, truncation_guard=True, **kwargs)
+    res_full = krylov.fgmres(matvec, b_red, truncation_guard=False, **kwargs)
+    assert bool(res_guarded.converged) and bool(res_full.converged)
+    assert int(res_guarded.iterations) == int(res_full.iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_guarded.x), np.asarray(res_full.x), rtol=1e-7, atol=1e-12
+    )
+
+
 def test_warm_start_two_pass_matches_cold_when_converged(small_movie):
     """'two-pass' (SURVEY section 2.4 middle ground: pair 0 solo, rest
     batched from its solution) must land on the same converged solution as
