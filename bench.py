@@ -425,14 +425,19 @@ def stencil_bandwidth_section(movie):
 
     * XLA fused stencil ('auto'): actual traffic ~19 planes/application
       (13 precomputed coefficient planes + 3 in + 3 out);
-    * fused Pallas kernel: ~7 planes (coefficients rebuilt on the VPU).
+    * fused Pallas v4 kernel: ~7 planes (coefficients rebuilt on the VPU,
+      mirror folds in-kernel);
+    * hybrid Pallas v5: plain core (fastest raw kernel, 70us measured)
+      + XLA boundary-ring overwrite (which costs more than the fold
+      removal saves — see ops.pallas_kernels round-5 verdict).
 
     The headline ``stencil_bandwidth_utilization`` is the XLA stencil's
     achieved fraction of HBM peak on its actual traffic — the roofline
-    evidence BASELINE config 4 asks for.  The Pallas kernel's number is
-    reported against its own 7-plane model; it is VPU-compute-bound
-    (coefficient rebuild + mirror-fold selects cost more VPU time than
-    the saved HBM traffic), which is why 'auto' resolves to XLA."""
+    evidence BASELINE config 4 asks for.  The Pallas numbers are
+    reported against their own 7-plane model; both are bound elsewhere
+    (v4 on VPU fold selects, v5 on the ring DUS), which is why 'auto'
+    resolves to XLA — the full eight-variant exploration lives in
+    flow.variational._resolve_matvec_impl."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -453,9 +458,10 @@ def stencil_bandwidth_section(movie):
             def per_pair(p):
                 s = jnp.max(jnp.abs(p))
                 a_sn = jnp.float32(ALPHA_S) / s**2
-                if impl == "pallas":
-                    aops = pallas_kernels.make_aligned_ops(
-                        p / s, a_sn, jnp.float32(ALPHA_R))
+                if impl in ("pallas", "hybrid"):
+                    mk = (pallas_kernels.make_aligned_ops if impl == "pallas"
+                          else pallas_kernels.make_hybrid_ops)
+                    aops = mk(p / s, a_sn, jnp.float32(ALPHA_R))
                     mv = aops.matvec
                     x0 = aops.pad_field(
                         jnp.ones((3, DIM - 2, DIM - 2), jnp.float32))
@@ -478,7 +484,7 @@ def stencil_bandwidth_section(movie):
     plane = DIM * DIM * 4
     rec = {"hbm_peak_gbps": HBM_PEAK_GBPS,
            "method": "differenced 100/500-application chains (dispatch latency cancels)"}
-    for impl, planes in (("xla", 19), ("pallas", 7)):
+    for impl, planes in (("xla", 19), ("pallas", 7), ("hybrid", 7)):
         times = {}
         for n_inner in (100, 500):
             ch = chain_fn(impl, n_inner)

@@ -88,19 +88,35 @@ def resolve_method(method: str, m: int, n: int) -> str:
 def _resolve_matvec_impl(matvec_impl: str, n: int, dtype) -> str:
     """Resolve ``'auto'`` to a concrete matvec implementation.
 
-    Round-4 on-chip measurement (differenced 100/500-application chains,
-    so dispatch latency cancels; bench.py stencil section): XLA's own
-    fusion of the stencil reaches ~90% of v5e HBM peak on its actual
-    traffic (~19 planes: 13 precomputed coefficient planes + 3 in +
-    3 out) at ~80us per 12-pair 256^2 application, while the fused
-    Pallas kernel — which cuts traffic to ~7 planes by rebuilding the
-    coefficients on the VPU — becomes VPU-compute-bound at ~93us.  Both
-    sit on their respective rooflines; XLA's is currently the lower
-    wall-clock, and it also wins at the full-solve level (42.8 vs 41.5
-    pairs/s median).  ``'auto'`` therefore resolves to ``'xla'``; the
-    fused kernel stays available as ``'pallas'`` (it is the better
-    building block wherever HBM, not VPU, is the binding resource —
-    e.g. future bf16-field variants at halved traffic).
+    ``'auto'`` resolves to ``'xla'``, and round 5 closed the question of
+    whether anything can beat it.  On-chip measurements (differenced
+    100/500-application chains so dispatch latency cancels; 12-pair
+    256^2 batch, us per batched application):
+
+    ========================  =====  ==========================================
+    implementation            us/app  binding resource
+    ========================  =====  ==========================================
+    XLA fused stencil          75-83  HBM at ~90-97% of peak (19-plane traffic)
+    XLA lean (recompute all)   74.9   VPU (7-plane traffic, 36% of bw peak)
+    XLA lean (cache 3 heavy)   77.8   VPU/mixed (10-plane traffic)
+    XLA + bf16 Krylov state    80.5   HBM 76% (16-plane-equiv) + convert ops
+    XLA + bf16 coeff planes    86.8   convert-op bound
+    Pallas v4 (mirror folds)   92-97  VPU: ~38 fold-select planes/application
+    Pallas v5 core (plain)     70.3   VPU: stencil+rebuild arithmetic
+    Pallas v5 + ring rows      106.5  XLA DUS overwrite of 2 row strips
+    Pallas v5 + full ring      388.5  lane-dim DUS of column strips
+    ========================  =====  ==========================================
+
+    Every route lands at ~70-97us: the application is at its practical
+    speed-of-light — XLA's 19-plane form sits at ~90% of its memory
+    roofline, and every traffic-reducing variant (Pallas rebuild, XLA
+    recompute-in-loop, bf16 halving) converts the saved bandwidth into
+    an equal-or-larger VPU/convert cost.  The v5 plain kernel is the
+    fastest raw kernel but needs its boundary ring overwritten (the
+    mirror semantics), and the cheapest ring mechanism found (XLA
+    dynamic-update-slice) costs more than the fold removal saves.
+    ``'auto'`` therefore stays ``'xla'``; ``'pallas'`` (v4) and
+    ``'hybrid'`` (v5) remain selectable and oracle-tested.
     """
     if matvec_impl != "auto":
         return matvec_impl
@@ -135,13 +151,17 @@ def solve_frame_pair(
 
     ``matvec_impl``: ``'xla'`` (pure-jnp fused stencil — what ``'auto'``
     resolves to; measured at ~90% of HBM peak on its actual traffic, see
-    ``_resolve_matvec_impl``) or ``'pallas'`` (fused VMEM-tiled kernel
-    with on-the-fly coefficients and the whole Krylov state in one
-    interior-aligned container layout — see ops.pallas_kernels; supports
-    one level of vmap).  Under spatial tiling the matvec runs as a
-    shard_map with a single two-phase ppermute halo exchange per
-    application instead — the sharded path passes ``matvec_factory``
-    (parallel.pallas_spmd) and ``matvec_impl='xla'``.
+    ``_resolve_matvec_impl``), ``'pallas'`` (v4 fused VMEM-tiled kernel
+    with on-the-fly coefficients, in-kernel mirror folds, and the whole
+    Krylov state in one interior-aligned container layout — see
+    ops.pallas_kernels; supports one level of vmap), or ``'hybrid'``
+    (v5: plain Pallas core + XLA boundary ring — the fastest raw kernel
+    measured, but the ring overwrite costs more than the fold removal
+    saves; kept selectable for future Mosaic/XLA DUS improvements).
+    Under spatial tiling the matvec runs as a shard_map with a single
+    two-phase ppermute halo exchange per application instead — the
+    sharded path passes ``matvec_factory`` (parallel.pallas_spmd) and
+    ``matvec_impl='xla'``.
 
     Intensity normalisation: the EL system built from ``(I/s,
     speed_alpha/s^2, remodelling_alpha)`` has the exact solution
@@ -212,10 +232,8 @@ def _solve_frame_pair_impl(
     m, n = b_red.shape[1], b_red.shape[2]
     method = resolve_method(method, m, n)
 
-    use_pallas = (
-        matvec_factory is None
-        and _resolve_matvec_impl(matvec_impl, n, b_red.dtype) == "pallas"
-    )
+    resolved_impl = _resolve_matvec_impl(matvec_impl, n, b_red.dtype)
+    use_pallas = matvec_factory is None and resolved_impl in ("pallas", "hybrid")
 
     if matvec_factory is not None:
         # Sharded-SPMD fused kernel (parallel.pallas_spmd): the factory
@@ -237,7 +255,12 @@ def _solve_frame_pair_impl(
         # bridge cost 5x the kernel itself; see ops.pallas_kernels).
         from opticalflow_tpu.ops import pallas_kernels
 
-        aops = pallas_kernels.make_aligned_ops(
+        _factory = (
+            pallas_kernels.make_hybrid_ops
+            if resolved_impl == "hybrid"
+            else pallas_kernels.make_aligned_ops
+        )
+        aops = _factory(
             previous_frame, speed_alpha, remodelling_alpha, dy_mode
         )
         matvec = aops.matvec

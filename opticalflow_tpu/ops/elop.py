@@ -280,6 +280,104 @@ def el_matvec_reduced(coeffs: ELCoefficients, u_int: jnp.ndarray) -> jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
+# Boundary-ring application of the reduced operator on thin strips.
+#
+# Used by the v5 hybrid Pallas path (ops.pallas_kernels.make_hybrid_ops):
+# the Pallas kernel computes the PLAIN stencil (reads outside the interior
+# are zero — no mirror-fold selects on the VPU, which cost ~2x the stencil
+# itself in the v4 kernel), and the one-pixel boundary ring of the output —
+# the only rows where the mirror semantics matter — is recomputed here in
+# XLA from O(m+n) strip slices and overwritten.  Exactness vs
+# el_matvec_reduced is tested in tests/test_pallas.py.
+# ---------------------------------------------------------------------------
+
+
+def _slice_coeffs(c: ELCoefficients, rs, cs) -> ELCoefficients:
+    """Slice every coefficient plane (scalars pass through)."""
+    return ELCoefficients(
+        diag_x=c.diag_x[rs, cs], diag_y=c.diag_y[rs, cs], cross=c.cross[rs, cs],
+        adv_xm=c.adv_xm[rs, cs], adv_xp=c.adv_xp[rs, cs],
+        adv_ym=c.adv_ym[rs, cs], adv_yp=c.adv_yp[rs, cs],
+        gx=c.gx[rs, cs], gy=c.gy[rs, cs], quart=c.quart[rs, cs],
+        half_I=c.half_I[rs, cs], dIdx=c.dIdx[rs, cs], dIdy=c.dIdy[rs, cs],
+        speed_alpha=c.speed_alpha, remodelling_alpha=c.remodelling_alpha,
+    )
+
+
+class RingCoeffs(NamedTuple):
+    """Coefficient strips for the four boundary-ring rows/cols, sliced once
+    per frame pair (top/bottom planes are (1, n); left/right are (m, 1))."""
+
+    top: ELCoefficients
+    bottom: ELCoefficients
+    left: ELCoefficients
+    right: ELCoefficients
+
+
+def ring_coeffs(c: ELCoefficients) -> RingCoeffs:
+    sl = slice(None)
+    return RingCoeffs(
+        top=_slice_coeffs(c, slice(0, 1), sl),
+        bottom=_slice_coeffs(c, slice(-1, None), sl),
+        left=_slice_coeffs(c, sl, slice(0, 1)),
+        right=_slice_coeffs(c, sl, slice(-1, None)),
+    )
+
+
+def ring_apply(rc: RingCoeffs, u_int: jnp.ndarray):
+    """Reduced-matvec values on the boundary ring of the interior grid.
+
+    ``u_int``: (3, m, n).  Returns ``(top, bottom, left, right)`` with
+    shapes (3, n), (3, n), (3, m), (3, m); the four corner pixels appear
+    in both their strips with identical values.  Each strip is computed by
+    ``interior_apply`` on a 3-row/3-col extended slab built from two
+    interior strips — O(m+n) work total.
+    """
+    x = u_int
+
+    def colext(row, corner):
+        # interior row (3, n) -> extended row (3, n+2) with col mirrors
+        return jnp.concatenate(
+            [corner * row[:, 1:2], row, corner * row[:, -2:-1]], axis=1
+        )
+
+    def rowext(col, corner):
+        # interior col (3, m) -> extended col (3, m+2) with row mirrors
+        return jnp.concatenate(
+            [corner * col[:, 1:2], col, corner * col[:, -2:-1]], axis=1
+        )
+
+    # top slab: ext rows 0..2 (ext row i+1 = interior row i; ext row 0
+    # mirrors interior row 1, global corners doubled)
+    slab_top = jnp.stack(
+        [colext(x[:, 1], 2.0), colext(x[:, 0], 1.0), colext(x[:, 1], 1.0)], axis=1
+    )
+    top = interior_apply(rc.top, slab_top)[:, 0]
+
+    # bottom slab: ext rows m-1..m+1 (ext row m+1 mirrors interior m-2)
+    slab_bot = jnp.stack(
+        [colext(x[:, -2], 1.0), colext(x[:, -1], 1.0), colext(x[:, -2], 2.0)], axis=1
+    )
+    bottom = interior_apply(rc.bottom, slab_bot)[:, 0]
+
+    # left slab: ext cols 0..2 over all ext rows
+    slab_left = jnp.stack(
+        [rowext(x[:, :, 1], 2.0), rowext(x[:, :, 0], 1.0), rowext(x[:, :, 1], 1.0)],
+        axis=2,
+    )
+    left = interior_apply(rc.left, slab_left)[:, :, 0]
+
+    # right slab: ext cols n-1..n+1
+    slab_right = jnp.stack(
+        [rowext(x[:, :, -2], 1.0), rowext(x[:, :, -1], 1.0), rowext(x[:, :, -2], 2.0)],
+        axis=2,
+    )
+    right = interior_apply(rc.right, slab_right)[:, :, 0]
+
+    return top, bottom, left, right
+
+
+# ---------------------------------------------------------------------------
 # Double-float (df32) exact system data + residual for iterative refinement
 #
 # Why: (a) the plain f32 matvec is catastrophically cancellative (stencil

@@ -638,6 +638,269 @@ class AlignedOps(NamedTuple):
     n: int
 
 
+# ===========================================================================
+# v5 kernel (round 5): PLAIN stencil in-kernel + XLA boundary ring
+#
+# Round-4 measurement: the v4 kernel is VPU-compute-bound (~92us vs the
+# XLA stencil's ~81us on the 12-pair 256^2 batch) and its VPU time is
+# dominated not by the coefficient rebuild (~35 ops/point) but by the
+# mirror-fold selects: ~38 jnp.where planes per application (~2x the
+# 9-point stencil arithmetic itself).  The folds only MATTER on the
+# one-pixel boundary ring of the output — every interior output reads
+# in-range neighbours.  So v5 splits the work by where it is needed:
+#
+#   * the Pallas kernel computes the plain stencil with zero reads
+#     outside the interior (no selects beyond the output validity mask);
+#   * the boundary ring — O(m+n) pixels — is recomputed exactly in XLA
+#     from thin strips (ops.elop.ring_apply) and overwritten into the
+#     kernel output with four static slice updates.
+#
+# Ring values from the kernel are garbage (they read clamped slivers /
+# zeros where the mirror should apply) and are never observed.  The
+# container zero-padding invariant is preserved by the kernel's validity
+# mask, and the ring overwrite touches only true interior pixels.
+# Exactness vs el_matvec_reduced: tests/test_pallas.py.
+#
+# ROUND-5 VERDICT (measured, 12-pair 256^2, differenced chains): the
+# fold-removal hypothesis was CORRECT — the plain core is the fastest
+# kernel measured, 70.3us vs v4's 96.8 and XLA's 75-83 — but the ring
+# overwrite eats the win: the four XLA dynamic-update-slice writes cost
+# +36us for the two ROW strips alone and +318us with the two COLUMN
+# strips (lane-dimension DUS forces a relayout pass), landing the full
+# hybrid at 388us.  Lane rotates (jnp.roll) instead of concats for the
+# column shifts were also tried: 79.0us — Mosaic's rotate is slower
+# than its concat.  Together with the XLA-side variants (lean
+# recompute-in-loop 74.9us, heavy-plane caching 77.8us, bf16 state
+# 80.5us, bf16 coefficients 86.8us — see
+# flow.variational._resolve_matvec_impl for the full table) this closes
+# the investigation: every implementation lands at ~70-97us, i.e. the
+# application is at its practical speed-of-light and 'auto' stays XLA.
+# The hybrid remains selectable (matvec_impl='hybrid') because the core
+# IS the fastest kernel — it pays off the moment a cheaper ring
+# mechanism exists (in-kernel strip selects, or a Mosaic/XLA release
+# that does lane-dim DUS in place).
+# ===========================================================================
+
+
+def _el_matvec_plain_kernel(
+    scalars_ref, meta_ref, i_cur, i_next, u_prev, u_cur, u_next, out_ref, *, bm
+):
+    """One (batch, row-block) tile of the PLAIN fused EL matvec (v5).
+
+    Identical operand/BlockSpec structure to the v4 interior kernel; the
+    field reads are raw ±1 shifts (out-of-range reads are container zeros
+    or clamped-sliver garbage that only lands on ring outputs, which the
+    XLA ring pass overwrites)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    NW = out_ref.shape[3]
+
+    a_s = scalars_ref[b, 0]
+    a_r = scalars_ref[b, 1]
+    m_valid = meta_ref[b, 0]
+    n_valid = meta_ref[b, 1]
+    compat = meta_ref[b, 2]
+
+    Ei = jnp.concatenate([i_cur[0], i_next[0, :2]], axis=0)
+    Ei = jnp.concatenate([Ei, jnp.zeros((bm + 2, 2), Ei.dtype)], axis=1)
+
+    def shi(a, bb):
+        return Ei[a : a + bm, bb : bb + NW]
+
+    # --- coefficients on the fly (ops.elop.compute_frame_pair_data) ---
+    I = shi(1, 1)
+    dIdx = 0.5 * (shi(2, 1) - shi(0, 1))
+    dIdy_fixed = 0.5 * (shi(1, 2) - shi(1, 0))
+    dIdy = jnp.where(compat != 0, dIdx, dIdy_fixed)
+    dIdxx = shi(2, 1) + shi(0, 1) - 2.0 * I
+    dIdyy = shi(1, 2) + shi(1, 0) - 2.0 * I
+    dIdxy = 0.25 * (shi(2, 2) - shi(2, 0) - shi(0, 2) + shi(0, 0))
+
+    diag_x = I * (dIdxx - 2.0 * I) - 4.0 * a_s
+    diag_y = I * (dIdyy - 2.0 * I) - 4.0 * a_s
+    cross = I * dIdxy
+    adv_xm = I * (-dIdx + I) + a_s
+    adv_xp = I * (dIdx + I) + a_s
+    adv_ym = I * (-dIdy + I) + a_s
+    adv_yp = I * (dIdy + I) + a_s
+    gx = I * dIdx * 0.5
+    gy = I * dIdy * 0.5
+    quart = I * I * 0.25
+    half_i = I * 0.5
+
+    def mk_raw(q):
+        """Raw ±1-shift reads of field q: (a, bb) -> interior (i+a-1, j+bb-1)."""
+        E = jnp.concatenate(
+            [u_prev[0, q, 7:8], u_cur[0, q], u_next[0, q, :1]], axis=0
+        )  # (bm+2, NW): rows [j*bm-1, j*bm+bm+1)
+        zcol = jnp.zeros((bm + 2, 1), E.dtype)
+        Lft = jnp.concatenate([zcol, E], axis=1)[:, :NW]
+        Rgt = jnp.concatenate([E, zcol], axis=1)[:, 1:]
+        by_col = {0: Lft, 1: E, 2: Rgt}
+
+        def raw(a, bb):
+            return by_col[bb][a : a + bm, :]
+
+        return raw
+
+    UX = mk_raw(0)
+    UY = mk_raw(1)
+    G = mk_raw(2)
+
+    # --- fused 9-point / 3-field stencil (ops.elop.interior_apply) ---
+    y_ux = (
+        diag_x * UX(1, 1)
+        + cross * UY(1, 1)
+        + adv_xm * UX(0, 1)
+        + adv_xp * UX(2, 1)
+        + a_s * (UX(1, 0) + UX(1, 2))
+        + gx * (UY(1, 2) - UY(1, 0))
+        + gy * (UY(2, 1) - UY(0, 1))
+        + quart * (UY(0, 0) + UY(2, 2) - UY(0, 2) - UY(2, 0))
+        + half_i * (G(0, 1) - G(2, 1))
+    )
+    y_uy = (
+        diag_y * UY(1, 1)
+        + cross * UX(1, 1)
+        + adv_ym * UY(1, 0)
+        + adv_yp * UY(1, 2)
+        + a_s * (UY(0, 1) + UY(2, 1))
+        + gy * (UX(2, 1) - UX(0, 1))
+        + gx * (UX(1, 2) - UX(1, 0))
+        + quart * (UX(0, 0) + UX(2, 2) - UX(0, 2) - UX(2, 0))
+        + half_i * (G(1, 0) - G(1, 2))
+    )
+    y_g = (
+        (-1.0 - 4.0 * a_r) * G(1, 1)
+        + dIdx * UX(1, 1)
+        + dIdy * UY(1, 1)
+        + a_r * (G(0, 1) + G(2, 1) + G(1, 0) + G(1, 2))
+        + half_i * (UX(2, 1) - UX(0, 1))
+        + half_i * (UY(1, 2) - UY(1, 0))
+    )
+
+    # Keep the container's exact-zero padding invariant.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bm, NW), 0) + j * bm
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (bm, NW), 1)
+    valid = (row_ids < m_valid) & (col_ids < n_valid)
+    zero = jnp.zeros((), out_ref.dtype)
+    out_ref[0, 0] = jnp.where(valid, y_ux, zero)
+    out_ref[0, 1] = jnp.where(valid, y_uy, zero)
+    out_ref[0, 2] = jnp.where(valid, y_g, zero)
+
+
+def _run_batched_plain(i_cont, scalars, meta, u_cont, interpret):
+    batch, _, mp, NW = u_cont.shape
+    NI = i_cont.shape[2]
+    bm = _pick_bm(NW)
+    grid_m = mp // bm
+    sb = bm // _SUB
+    dtype = u_cont.dtype
+
+    return pl.pallas_call(
+        functools.partial(_el_matvec_plain_kernel, bm=bm),
+        grid=(batch, grid_m),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bm, NI), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, _SUB, NI), lambda b, j: (b, (j + 1) * sb, 0)),
+            pl.BlockSpec(
+                (1, 3, _SUB, NW),
+                lambda b, j: (b, 0, jnp.maximum(j * sb - 1, 0), 0),
+            ),
+            pl.BlockSpec((1, 3, bm, NW), lambda b, j: (b, 0, j, 0)),
+            pl.BlockSpec(
+                (1, 3, _SUB, NW),
+                lambda b, j: (b, 0, jnp.minimum((j + 1) * sb, grid_m * sb - 1), 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 3, bm, NW), lambda b, j: (b, 0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, 3, mp, NW), dtype),
+        interpret=interpret,
+    )(scalars, meta, i_cont, i_cont, u_cont, u_cont, u_cont)
+
+
+@jax.custom_batching.custom_vmap
+def _plain_matvec(i_cont, scalars, meta, u_cont):
+    """Unbatched plain C -> C matvec on container operands (v5 core)."""
+    return _run_batched_plain(
+        i_cont[None], scalars[None], meta[None], u_cont[None], INTERPRET
+    )[0]
+
+
+@_plain_matvec.def_vmap
+def _plain_matvec_vmap(axis_size, in_batched, i_cont, scalars, meta, u_cont):
+    ib, sb, mb, ub = in_batched
+    if not ib:
+        i_cont = jnp.broadcast_to(i_cont[None], (axis_size,) + i_cont.shape)
+    if not sb:
+        scalars = jnp.broadcast_to(scalars[None], (axis_size,) + scalars.shape)
+    if not mb:
+        meta = jnp.broadcast_to(meta[None], (axis_size,) + meta.shape)
+    if not ub:
+        u_cont = jnp.broadcast_to(u_cont[None], (axis_size,) + u_cont.shape)
+    return _run_batched_plain(i_cont, scalars, meta, u_cont, INTERPRET), True
+
+
+def make_hybrid_ops(
+    previous_frame: jnp.ndarray,
+    speed_alpha,
+    remodelling_alpha,
+    dy_mode: str = "compat",
+) -> AlignedOps:
+    """Build the v5 hybrid operator set: plain Pallas core + XLA ring.
+
+    Same container layout and ``AlignedOps`` interface as the v4 kernel
+    (drop-in for flow.variational and solve.multigrid.v_cycle_aligned);
+    requires m, n >= 3.
+    """
+    from opticalflow_tpu.ops import elop
+
+    ni, nj = previous_frame.shape
+    m, n = ni - 2, nj - 2
+    NW = _round_up(n, _LANE)
+    bm = _pick_bm(NW)
+    mp = _round_up(m, bm)
+    NI = _round_up(nj, _LANE)
+    dtype = previous_frame.dtype
+
+    i_cont = jnp.pad(previous_frame, ((0, mp + 8 - ni), (0, NI - nj)))
+    scalars = jnp.stack(
+        [
+            jnp.asarray(speed_alpha, dtype=dtype),
+            jnp.asarray(remodelling_alpha, dtype=dtype),
+        ]
+    )
+    meta = jnp.array([m, n, 1 if dy_mode == "compat" else 0], dtype=jnp.int32)
+    # ring coefficient strips, sliced once per pair (current frame is not
+    # needed for coefficients; rhs of this pair object is unused/DCE'd)
+    rc = elop.ring_coeffs(
+        elop.compute_frame_pair_data(
+            previous_frame, previous_frame, speed_alpha, remodelling_alpha, dy_mode
+        ).coeffs
+    )
+
+    def matvec(u_c):
+        y = _plain_matvec(i_cont, scalars, meta, u_c)
+        top, bottom, left, right = elop.ring_apply(rc, u_c[:, :m, :n])
+        y = y.at[:, 0, :n].set(top)
+        y = y.at[:, m - 1, :n].set(bottom)
+        y = y.at[:, :m, 0].set(left)
+        y = y.at[:, :m, n - 1].set(right)
+        return y
+
+    def pad_field(u_int):
+        return jnp.pad(u_int, ((0, 0), (0, mp - m), (0, NW - n)))
+
+    def slice_field(u_c):
+        return u_c[:, :m, :n]
+
+    return AlignedOps(
+        matvec=matvec, pad_field=pad_field, slice_field=slice_field, m=m, n=n
+    )
+
+
 def make_aligned_ops(
     previous_frame: jnp.ndarray,
     speed_alpha,

@@ -61,6 +61,51 @@ def test_padded_layout_invariants():
     assert (np.asarray(b_r)[:, m:, :] == 0).all()
 
 
+@pytest.mark.parametrize("shape", [(30, 40), (128, 254), (254, 254)])
+@pytest.mark.parametrize("factory_name", ["make_aligned_ops", "make_hybrid_ops"])
+def test_container_ops_match_xla(shape, factory_name):
+    """v4 (in-kernel mirror fold) and v5 (plain kernel + XLA ring) container
+    operator sets must both reproduce el_matvec_reduced exactly, including
+    the boundary ring, and keep the container zero-padding invariant."""
+    m, n = shape
+    movie, pair, u = _pair(m, n)
+    ops = getattr(pk, factory_name)(movie[0], 800.0, 900.0, "compat")
+    y_c = ops.matvec(ops.pad_field(u))
+    y = ops.slice_field(y_c)
+    y_ref = elop.el_matvec_reduced(pair.coeffs, u)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-6, atol=1e-2)
+    y_np = np.asarray(y_c)
+    assert (y_np[:, m:, :] == 0).all()
+    assert (y_np[:, :, n:] == 0).all()
+
+
+def test_hybrid_ops_under_vmap():
+    """The v5 hybrid matvec (custom_vmap kernel + vmapped XLA ring) must
+    match per-pair XLA results under a frame-pair batch axis."""
+    import jax
+
+    m = n = 62
+    movie, _ = make_translating_blob_movie(
+        n_frames=4, dimension=m + 2, width=10.0, sigma=3.0, v_x=0.2, v_y=0.1,
+        dtype=jnp.float32,
+    )
+    movie = jnp.asarray(np.asarray(movie) * 100.0, jnp.float32)
+    rng = np.random.default_rng(7)
+    us = jnp.asarray(rng.standard_normal((3, 3, m, n)), jnp.float32)
+
+    def hybrid_one(prev, u):
+        ops = pk.make_hybrid_ops(prev, 800.0, 900.0, "compat")
+        return ops.slice_field(ops.matvec(ops.pad_field(u)))
+
+    def xla_one(prev, cur, u):
+        pair = elop.compute_frame_pair_data(prev, cur, 800.0, 900.0, "compat")
+        return elop.el_matvec_reduced(pair.coeffs, u)
+
+    y_h = jax.vmap(hybrid_one)(movie[:-1], us)
+    y_ref = jax.vmap(xla_one)(movie[:-1], movie[1:], us)
+    np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_ref), rtol=1e-6, atol=1e-2)
+
+
 def test_pallas_matvec_under_vmap():
     """The custom_vmap rule must route a batched call onto the kernel's
     native batch grid axis and match per-pair XLA results."""
