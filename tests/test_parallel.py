@@ -34,6 +34,27 @@ def test_mesh_factoring():
         mesh_lib.make_mesh(jax.devices()[:8], frames=3, tx=2, ty=2)
 
 
+def test_mesh_partial_and_workload_spec():
+    """Partially-specified axes are honoured (r3/r4 weak item: they used
+    to be silently discarded) and the single-pair workload tiles
+    near-square with frames pinned to 1."""
+    devs = jax.devices()[:8]
+    m = mesh_lib.make_mesh(devs, frames=1)
+    assert dict(m.shape) == {"frames": 1, "tx": 4, "ty": 2}
+    m = mesh_lib.make_mesh(devs, frames=2, tx=2)
+    assert dict(m.shape) == {"frames": 2, "tx": 2, "ty": 2}
+    m = mesh_lib.make_mesh(devs, ty=2)
+    assert dict(m.shape) == {"frames": 4, "tx": 1, "ty": 2}
+    m = mesh_lib.make_mesh(devs, workload="single_pair")
+    assert dict(m.shape) == {"frames": 1, "tx": 4, "ty": 2}
+    m6 = mesh_lib.make_mesh(jax.devices()[:6], workload="single_pair")
+    assert dict(m6.shape) == {"frames": 1, "tx": 3, "ty": 2}
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(devs, frames=3)
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(devs, workload="nope")
+
+
 def test_sharded_variational_matches_single_device(movie):
     mesh = mesh_lib.make_mesh(jax.devices()[:8], frames=2, tx=2, ty=2)
     all_u_sharded, infos = sharded_variational_solve(
