@@ -144,7 +144,7 @@ def _sweep_kernel(movie, alpha_pairs, delta_x, delta_t, rtol, dy_mode, method,
 
 def _batched_sweep(movie, speed_alphas, remodelling_alphas, delta_x=1.0, delta_t=1.0,
                    smoothing_sigma=None, dy_mode="compat", solver=None, dtype=None,
-                   **unsupported):
+                   batch_chunk=48, **unsupported):
     if unsupported:
         raise TypeError(
             f"batched sweep does not support {sorted(unsupported)}; grid cells "
@@ -163,19 +163,44 @@ def _batched_sweep(movie, speed_alphas, remodelling_alphas, delta_x=1.0, delta_t
     grid = np.array(
         [[a_s, a_r] for a_s in speed_alphas for a_r in remodelling_alphas]
     )
-    out = _sweep_kernel(
-        movie,
-        jnp.asarray(grid, dtype=dtype),
-        jnp.asarray(delta_x, dtype=dtype),
-        jnp.asarray(delta_t, dtype=dtype),
-        solver.rtol,
-        dy_mode,
-        solver.method,
-        solver.preconditioner,
-        solver.max_iterations,
-        movie.shape[0] - 1,
-        solver.matvec,
-    )
+    # The grid runs in CHUNKS of <= batch_chunk solves (flattened cells x
+    # pairs).  Round-5 bisection on the axon TPU worker: the multigrid-
+    # preconditioned vmapped solve at 128^2 crashes the remote worker
+    # ("kernel fault") at batch >= 64 (56 ok, 64 crash; block-Jacobi at 64
+    # is fine, so the MG path — most plausibly the batched coarse-level
+    # dense factorisation — trips a device-side limit).  48 keeps a margin
+    # below the measured cliff while still amortising dispatch; every
+    # chunk reuses ONE compiled executable (the last chunk is padded by
+    # repeating its final row, results trimmed).
+    n_pairs = movie.shape[0] - 1
+    cells_per_chunk = max(1, int(batch_chunk) // max(n_pairs, 1))
+    n_cells = grid.shape[0]
+    chunk_outs = []
+    for lo in range(0, n_cells, cells_per_chunk):
+        chunk = grid[lo : lo + cells_per_chunk]
+        pad = cells_per_chunk - chunk.shape[0]
+        if pad and n_cells > cells_per_chunk:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+        out_c = _sweep_kernel(
+            movie,
+            jnp.asarray(chunk, dtype=dtype),
+            jnp.asarray(delta_x, dtype=dtype),
+            jnp.asarray(delta_t, dtype=dtype),
+            solver.rtol,
+            dy_mode,
+            solver.method,
+            solver.preconditioner,
+            solver.max_iterations,
+            n_pairs,
+            solver.matvec,
+        )
+        if pad and n_cells > cells_per_chunk:
+            out_c = {k: v[: cells_per_chunk - pad] for k, v in out_c.items()}
+        chunk_outs.append(jax.tree.map(np.asarray, out_c))
+    out = {
+        k: np.concatenate([c[k] for c in chunk_outs], axis=0)
+        for k in chunk_outs[0]
+    }
     shape = (len(speed_alphas), len(remodelling_alphas))
     return {
         "speed_means": np.asarray(out["speed_mean"]).reshape(shape),

@@ -47,6 +47,7 @@ _SLOW_TESTS = {
     "test_sharded_pallas_matvec_matches_xla",
     # tests/test_analysis.py — batched sweeps + movie writers
     "test_batched_sweep_matches_serial",
+    "test_batched_sweep_chunk_invariance",
     "test_batched_sweep_through_pallas_kernel",
     "test_sweep_saves_and_plots",
     "test_viz_overlay_movies",

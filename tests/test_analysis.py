@@ -26,6 +26,21 @@ def movie():
     return np.asarray(movie) * 100.0, delta_x
 
 
+def test_batched_sweep_chunk_invariance(movie):
+    """Chunked execution (round-5 workaround for the axon worker's
+    batch>=64 MG kernel fault) must be invisible: a grid split into
+    padded chunks produces the same statistics as one whole-grid batch."""
+    mov, _ = movie
+    a_s = np.logspace(1, 3, 3)
+    a_r = np.logspace(1, 3, 4)
+    whole = vary_regularisation(mov, a_s, a_r, batched=True, batch_chunk=1000)
+    chunked = vary_regularisation(mov, a_s, a_r, batched=True, batch_chunk=5)
+    for key in ("speed_means", "remodelling_means", "functional", "converged"):
+        np.testing.assert_allclose(
+            chunked[key], whole[key], rtol=1e-10, atol=1e-12, err_msg=key
+        )
+
+
 def test_batched_sweep_matches_serial(movie):
     m, delta_x = movie
     alphas_s = np.array([200.0, 1000.0])
