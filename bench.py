@@ -688,7 +688,11 @@ def main():
         ("stencil_kernel", lambda: stencil_bandwidth_section(movie), 60),
         ("embryo_1024", embryo_1024_section, 60),
         ("sweep_300", sweep_section, 100),
-        ("stack_512", stack_512_section, 150),
+        # stack_512 measured >500 s this round even with a warm cache
+        # (the 50-pair 512^2 two-pass movie solver's tracing dominates);
+        # the estimate keeps the budget gate honest so the section is
+        # skipped-and-recorded instead of started-and-interrupted
+        ("stack_512", stack_512_section, 200),
     ):
         if _remaining() < est:
             skipped.append(name)
